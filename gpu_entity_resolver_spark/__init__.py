@@ -1,0 +1,24 @@
+"""gpu_entity_resolver_spark — a from-scratch, PySpark-native record-linkage
+(entity-resolution) engine with the query and data-processing capabilities of
+the reference ``andrewjordan3/gpu-entity-resolver`` (see SURVEY.md).
+
+The reference is a single-node NVIDIA RAPIDS pipeline (resolver.py:38); this
+package re-expresses the same semantics Spark-first:
+
+- DataFrame/SQL column expressions for normalization, keys, scores
+  (reference resolver.py:130-182, utils.py:99-166);
+- multi-key blocking (MinHash-LSH over char shingles + sorted-neighborhood)
+  instead of the reference's kNN-over-embeddings (utils.py:313-359);
+- Arrow-vectorized pandas UDFs only where built-ins cannot express the
+  semantics (extraction, Jaro-Winkler, per-cluster canonical election);
+- an iterative DataFrame connected-components (large-star/small-star) instead
+  of cuGraph (utils.py:361-398);
+- parquet stage tables + a lineage/metrics table for checkpoint/resume
+  (the local stand-in for an Iceberg catalog — no Iceberg jar is available in
+  this sandbox; the table layout is catalog-agnostic).
+"""
+
+from .config import ResolverConfig
+
+__all__ = ["ResolverConfig"]
+__version__ = "0.1.0"

@@ -1,0 +1,121 @@
+"""Configuration tree for the Spark-native resolver.
+
+Mirrors the *semantics* of the reference config (``ResolverConfig``,
+reference config.py:240-259) but carries Spark-scale knobs (shuffle
+partitions, block caps, salting) instead of GPU memory knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Word replacements applied during name normalization.
+# Semantics from reference config.py:14-20 (NormalizationConfig.replacements).
+DEFAULT_REPLACEMENTS: dict[str, str] = {
+    "traiier": "trailer", "rpr": "repair", "svcs": "service", "svc": "service",
+    "ctr": "center", "ctrs": "centers", "cntr": "center", "trk": "truck",
+    "auto": "automotive", "auth": "authorized", "dist": "distribution",
+    "mfg": "manufacturing", "mfr": "manufacturing", "equip": "equipment",
+    "natl": "national", "mgmt": "management", "assoc": "associates",
+}
+
+# Legal suffixes stripped during normalization.
+# Semantics from reference config.py:21-27 (suffixes_to_remove).
+DEFAULT_SUFFIXES: tuple[str, ...] = (
+    "inc", "incorporated", "llc", "ll", "lp", "llp", "ltd", "limited",
+    "corp", "corporation", "co", "company", "plc", "pllc",
+    "pa", "pc", "sc", "dba", "fka", "aka", "etal", "et al",
+    "international", "intl", "usa", "america", "us",
+    "group", "grp", "holdings", "ent",
+)
+
+
+@dataclass
+class BlockingConfig:
+    """Multi-key blocking: MinHash-LSH over char shingles + sorted-neighborhood.
+
+    Replaces the reference's kNN-over-TF-IDF similar-pair search
+    (utils.py:313-359) with equi-joinable blocking keys, per the north rule.
+    """
+
+    shingle_size: int = 4                 # char n-gram width for MinHash
+    num_perm: int = 64                    # MinHash permutations
+    bands: int = 16                       # LSH bands (rows = num_perm // bands)
+    seed: int = 42                        # deterministic hash seed
+    sorted_neighborhood_prefix: int = 8   # chars of normalized text for SN key
+    sorted_neighborhood_window: int = 5   # neighbors each side in sorted order
+    max_block_size: int = 200             # blocks above this get salted/capped
+    salt_buckets: int = 8                 # salt fan-out for hot blocks
+
+
+@dataclass
+class ScoringConfig:
+    """Pairwise scoring weights and thresholds.
+
+    The reference scores similarity through a 3-stream embedding
+    (semantic .45 / tfidf .40 / phonetic .15 — config.py:117-124) plus
+    HDBSCAN/SNN clustering; the north rule replaces this with explicit
+    TF-IDF-cosine + Jaro-Winkler + Levenshtein pair scores. Stream energy
+    proportions become score weights (SURVEY.md §2.7 V6).
+    """
+
+    tfidf_weight: float = 0.45
+    jaro_winkler_weight: float = 0.35
+    levenshtein_weight: float = 0.20
+    edge_threshold: float = 0.62          # min weighted score to keep an edge
+    tfidf_ngram_lo: int = 3               # char ngram range of the reference
+    tfidf_ngram_hi: int = 5               # TfidfVectorizer (config.py:57-64)
+    tfidf_min_df: int = 1
+    max_text_chars: int = 256             # truncate long docs before scoring
+
+
+@dataclass
+class ClusteringConfig:
+    """Connected components + hygiene thresholds.
+
+    Merge/validation thresholds carried from the reference
+    (config.py:150-169, 202-218).
+    """
+
+    cc_max_iterations: int = 50
+    min_cluster_size: int = 1             # reference HDBSCAN uses 3; CC keeps all
+    name_match_threshold: float = 0.89    # config.py:202 validation
+    merge_median_threshold: float = 0.84  # config.py:153-156 SNN merge
+    merge_max_threshold: float = 0.90
+
+
+@dataclass
+class ConfidenceConfig:
+    """Confidence-score weights, reference config.py:223-229."""
+
+    name_similarity_weight: float = 0.25
+    avg_cluster_prob_weight: float = 0.20
+    cluster_size_weight: float = 0.25
+    cohesion_weight: float = 0.15
+    address_confidence_weight: float = 0.15
+    review_confidence_threshold: float = 0.75
+    review_change_threshold: float = 0.70
+
+
+@dataclass
+class RuntimeConfig:
+    """Spark execution knobs — the analog of the reference's GPU memory
+    management (chunk sizes, free_all_blocks; resolver.py:2537-2619)."""
+
+    shuffle_partitions: int = 32
+    arrow_batch_size: int = 10_000
+    broadcast_threshold_rows: int = 1_000_000
+    checkpoint_dir: str | None = None     # parquet stage tables + lineage
+
+
+@dataclass
+class ResolverConfig:
+    replacements: dict[str, str] = field(default_factory=lambda: dict(DEFAULT_REPLACEMENTS))
+    suffixes_to_remove: tuple[str, ...] = DEFAULT_SUFFIXES
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    clustering: ClusteringConfig = field(default_factory=ClusteringConfig)
+    confidence: ConfidenceConfig = field(default_factory=ConfidenceConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    random_seed: int = 42

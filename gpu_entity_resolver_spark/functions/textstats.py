@@ -1,0 +1,127 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All JVM-side Column expressions (no Python UDFs), each with
+a DuckDB-SQL twin for the oracle harness.
+
+These extend the reference's scope (it has no text-corpus analytics) as
+required by the build brief; the column-expression style mirrors the
+reference's vectorized cuDF string ops (reference resolver.py:148-176).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword list shared by both renderers (quality scoring only).
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for null/empty/blank strings."""
+    t = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def token_count_sql(expr: str) -> str:
+    return (
+        f"CAST(CASE WHEN trim(coalesce({expr}, '')) = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim(coalesce({expr}, '')), '\\s+')) "
+        f"END AS BIGINT)"
+    )
+
+
+def quality_stats(col: Column) -> dict[str, Column]:
+    """Quality-signal columns: char count, punctuation count, digit count,
+    stopword hits, mean token length (x100, integer for hash stability)."""
+    t = F.coalesce(col, F.lit(""))
+    n_chars = F.length(t).cast("long")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(t, r"[^a-zA-Z0-9\s]", ""))
+    ).cast("long")
+    n_digits = (
+        n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    ).cast("long")
+    low = F.lower(t)
+    stop_hits = None
+    for w in _STOPWORDS:
+        hits = F.size(F.regexp_extract_all(low, F.lit(rf"\b{w}\b"), F.lit(0)))
+        stop_hits = hits if stop_hits is None else stop_hits + hits
+    n_tokens = token_count(col)
+    mean_tok_len_x100 = F.when(n_tokens > 0,
+        ((n_chars - (n_tokens - 1)) * 100 / n_tokens).cast("long")
+    ).otherwise(F.lit(0)).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_punct": n_punct,
+        "n_digits": n_digits,
+        "n_stopwords": stop_hits.cast("long"),
+        "n_tokens": n_tokens,
+        "mean_tok_len_x100": mean_tok_len_x100,
+    }
+
+
+def quality_stats_sql(expr: str) -> dict[str, str]:
+    t = f"coalesce({expr}, '')"
+    n_chars = f"CAST(length({t}) AS BIGINT)"
+    n_punct = (
+        f"CAST(length({t}) - length(regexp_replace({t}, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT)"
+    )
+    n_digits = f"CAST(length({t}) - length(regexp_replace({t}, '[0-9]', '', 'g')) AS BIGINT)"
+    stop_terms = " + ".join(
+        f"len(regexp_extract_all(lower({t}), '\\b{w}\\b'))" for w in _STOPWORDS
+    )
+    n_tokens = token_count_sql(expr)
+    mean = (
+        f"CAST(CASE WHEN {n_tokens} > 0 THEN "
+        f"CAST(({n_chars} - ({n_tokens} - 1)) * 100 / {n_tokens} AS BIGINT) "
+        f"ELSE 0 END AS BIGINT)"
+    )
+    return {
+        "n_chars": n_chars,
+        "n_punct": n_punct,
+        "n_digits": n_digits,
+        "n_stopwords": f"CAST({stop_terms} AS BIGINT)",
+        "n_tokens": n_tokens,
+        "mean_tok_len_x100": mean,
+    }
+
+
+def lang_id_guess(col: Column) -> Column:
+    """Heuristic language ID from function-word hits (en/de/fr/es), 'und'
+    otherwise. Pure Column expression; deterministic."""
+    low = F.lower(F.coalesce(col, F.lit("")))
+
+    def hits(words: tuple[str, ...]) -> Column:
+        total = None
+        for w in words:
+            h = F.size(F.regexp_extract_all(low, F.lit(rf"\b{w}\b"), F.lit(0)))
+            total = h if total is None else total + h
+        return total
+
+    en = hits(("the", "and", "of", "is", "with"))
+    de = hits(("der", "die", "das", "und", "mit"))
+    fr = hits(("le", "la", "les", "et", "avec"))
+    es = hits(("el", "los", "las", "y", "con"))
+    best = F.greatest(en, de, fr, es)
+    return (
+        F.when(best == 0, "und")
+        .when(en == best, "en")
+        .when(de == best, "de")
+        .when(fr == best, "fr")
+        .otherwise("es")
+    )
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the exact-dedup key. md5 is identical across Spark and DuckDB."""
+    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " "))
+    return F.md5(norm)
+
+
+def doc_fingerprint_sql(expr: str) -> str:
+    norm = f"trim(regexp_replace(lower(coalesce({expr}, '')), '\\s+', ' ', 'g'))"
+    return f"md5({norm})"

@@ -1,0 +1,133 @@
+"""Iterative DataFrame connected components — large-star / small-star.
+
+Replaces the reference's ``cugraph.weakly_connected_components``
+(reference utils.py:361-398) with the alternating-star algorithm of
+Kiveris et al. (MapReduce CC), which converges in O(log n) rounds and is
+expressible purely as DataFrame joins/aggregations:
+
+- large-star: every node's strictly-larger neighbors re-attach to the
+  minimum of its closed neighborhood;
+- small-star: every node and its smaller-or-equal neighbors re-attach to
+  that minimum.
+
+Each round is two shuffles (groupBy min + equi-join back). Frontiers are
+``localCheckpoint``-ed to cut lineage (the analog of the reference freeing
+GPU pools per batch, resolver.py:2613-2619). Convergence is detected by a
+(count, bit_xor-of-xxhash64) signature of the edge set — O(1) driver data.
+
+Output labels use the component's minimum vertex id, the same convention as
+the oracle fixture in FIXTURES.md §4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    nbrs = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    return (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # Orient every edge toward the smaller endpoint.
+    oriented = e.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    mins = (
+        oriented.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    reattach = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edges = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        reattach.union(self_edges)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Compute connected components of an undirected graph.
+
+    Args:
+        edges: DataFrame with two integer vertex columns (self-loops ignored).
+
+    Returns:
+        DataFrame ``(vertex: long, component: long)`` covering every vertex
+        present in the input, ``component`` = min vertex id in the component.
+    """
+    e0 = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    vertices = (
+        e0.select(F.col("src").alias("vertex"))
+        .union(e0.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    e = (
+        e0.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        if e.isEmpty():
+            break
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig_row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # Converged edge set is a union of stars: (member, root) with root < member.
+    labels = e.select(
+        F.col("src").alias("vertex"), F.col("dst").alias("component")
+    ).groupBy("vertex").agg(F.min("component").alias("component"))
+    return (
+        vertices.join(labels, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("component", "vertex").alias("component"),
+        )
+    )
