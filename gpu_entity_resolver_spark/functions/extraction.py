@@ -1,0 +1,61 @@
+"""HTML → text extraction as an Arrow-vectorized pandas UDF.
+
+Per-row invariant (BASELINE.json ``input_hint``): extraction is a pure,
+deterministic function of the html bytes — byte-identical output per url
+across runs and parallelism levels. The reference has no web-payload stage
+(its analog is the libpostal address parse round-trip, resolver.py:205-219);
+this is the web-corpus counterpart mandated by the north rule.
+
+The extractor is deliberately dependency-free (no bs4/lxml in this
+environment): strip script/style blocks, drop tags, decode the five
+standard entities, collapse whitespace. All regex work happens on a whole
+pandas Series per Arrow batch — no per-row Python loops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_ENTITY_MAP = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # must come last so &amp;lt; decodes to &lt;
+]
+
+
+def extract_text_series(html_bytes: pd.Series) -> pd.Series:
+    """Pure extraction over a Series of html byte strings."""
+    s = html_bytes.map(lambda b: b.decode("utf-8", "replace") if b is not None else "", na_action=None)
+    s = s.astype("string").fillna("")
+    s = s.str.replace(r"(?is)<(script|style)\b[^>]*>.*?</\1>", " ", regex=True)
+    s = s.str.replace(r"(?s)<!--.*?-->", " ", regex=True)
+    s = s.str.replace(r"(?s)<[^>]*>", " ", regex=True)
+    for ent, ch in _ENTITY_MAP:
+        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return s.astype(object)
+
+
+# DataType instance (not DDL string): keeps the module importable without an
+# active SparkSession (DDL strings are parsed through the JVM at decoration).
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return extract_text_series(html)
+
+
+def extracted_text(html_col: Column, text_col: Column) -> Column:
+    """Prefer the stored ground-truth extraction when present; otherwise run
+    the UDF. The CASE is evaluated JVM-side so the Python worker only sees
+    rows that actually need extraction is NOT true — Spark evaluates both
+    branches' inputs; we therefore null out html when text exists to keep
+    Arrow transfer small."""
+    need = text_col.isNull() | (text_col == "")
+    return F.when(~need, text_col).otherwise(
+        extract_text_udf(F.when(need, html_col))
+    )

@@ -1,0 +1,133 @@
+"""Vectorized string-similarity kernels for Arrow-batched pandas UDFs.
+
+The reference gets Jaro-Winkler-style fuzzy semantics through GPU TF-IDF
+cosine + kNN (reference utils.py:211-232, 313-359); the north rule requires
+explicit vectorized Jaro-Winkler/Levenshtein over pandas/Arrow batches with
+no per-row Python. No similarity library ships in this environment, so the
+JW kernel below is implemented batch-vectorized in numpy: the only Python
+loop is over character positions (bounded by ``max_chars``), never over rows.
+
+Levenshtein is NOT implemented here — the engine uses Spark's built-in JVM
+``levenshtein()`` (with threshold early-exit) so it stays inside codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _encode_padded(s: pd.Series, max_chars: int) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a string Series into an (N, max_chars) int32 codepoint matrix
+    (0-padded) plus a length vector. Vectorized via one concatenated buffer."""
+    vals = s.fillna("").astype(str).str.slice(0, max_chars)
+    lengths = vals.str.len().to_numpy(dtype=np.int64)
+    n = len(vals)
+    out = np.zeros((n, max_chars), dtype=np.int32)
+    if n == 0:
+        return out, lengths
+    joined = "".join(vals.tolist())
+    if joined:
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        # scatter each row's slice; loop over rows avoided with fancy indexing
+        row_idx = np.repeat(np.arange(n), lengths)
+        col_idx = np.arange(len(codes)) - np.repeat(starts, lengths)
+        out[row_idx, col_idx] = codes
+    return out, lengths
+
+
+def jaro_winkler(
+    a: pd.Series,
+    b: pd.Series,
+    max_chars: int = 64,
+    prefix_weight: float = 0.1,
+    chunk_rows: int = 2048,
+) -> np.ndarray:
+    """Batch Jaro-Winkler similarity of two aligned string Series.
+
+    Standard Jaro with half-max-length match window and transposition count,
+    plus Winkler prefix boost (prefix capped at 4). Matches DuckDB's
+    ``jaro_winkler_similarity`` (verified by tests/test_simfns.py).
+    """
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        out[lo:hi] = _jw_chunk(
+            a.iloc[lo:hi], b.iloc[lo:hi], max_chars, prefix_weight
+        )
+    return out
+
+
+def _jw_chunk(
+    a: pd.Series, b: pd.Series, max_chars: int, prefix_weight: float
+) -> np.ndarray:
+    A, la = _encode_padded(a, max_chars)
+    B, lb = _encode_padded(b, max_chars)
+    n, L = A.shape
+    if n == 0:
+        return np.zeros(0)
+
+    # Match window per pair: floor(max(la,lb)/2) - 1, min 0.
+    win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+
+    # eq[r, i, j] = A[r,i] == B[r,j], inside window, both positions valid.
+    eq = A[:, :, None] == B[:, None, :]
+    i_idx = np.arange(L)
+    dist_ok = np.abs(i_idx[:, None] - i_idx[None, :])[None, :, :] <= win[:, None, None]
+    valid = (i_idx[None, :, None] < la[:, None, None]) & (
+        i_idx[None, None, :] < lb[:, None, None]
+    )
+    cand = eq & dist_ok & valid & (A[:, :, None] != 0)
+
+    # Greedy left-to-right matching: loop over i (<= max_chars iterations),
+    # vectorized across rows. Record matched b-index per a-position.
+    used_b = np.zeros((n, L), dtype=bool)
+    match_b = np.full((n, L), -1, dtype=np.int64)
+    for i in range(L):
+        avail = cand[:, i, :] & ~used_b
+        has = avail.any(axis=1)
+        j = np.where(has, avail.argmax(axis=1), -1)
+        rows = np.nonzero(has)[0]
+        used_b[rows, j[rows]] = True
+        match_b[rows, i] = j[rows]
+
+    m = (match_b >= 0).sum(axis=1).astype(np.float64)
+
+    # Transpositions: compare matched a-chars (in a order) against matched
+    # b-chars (in b order). Extract both sequences with stable ordering.
+    matched_mask_a = match_b >= 0
+    # a-side matched chars in a order:
+    order = np.argsort(~matched_mask_a, axis=1, kind="stable")
+    a_seq = np.take_along_axis(A, order, axis=1)
+    # b-side matched chars in b index order:
+    b_order = np.argsort(~used_b, axis=1, kind="stable")
+    b_seq = np.take_along_axis(B, b_order, axis=1)
+    k = matched_mask_a.sum(axis=1)
+    pos = np.arange(L)[None, :]
+    in_match = pos < k[:, None]
+    # Integer-halved transposition count — the classic-implementation
+    # convention the DuckDB oracle follows (mismatches // 2, not / 2).
+    trans = (((a_seq != b_seq) & in_match).sum(axis=1) // 2).astype(np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / la + m / lb + (m - trans) / np.where(m == 0, 1, m)) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+
+    # Winkler prefix boost (common prefix up to 4 chars).
+    pref_eq = (A[:, :4] == B[:, :4]) & (A[:, :4] != 0)
+    # prefix length = position of first False
+    pref_len = np.where(
+        pref_eq.all(axis=1), np.minimum(4, np.minimum(la, lb)), pref_eq.argmin(axis=1)
+    ).astype(np.float64)
+    # Classic Winkler boost threshold: only boost when jaro > 0.7
+    # (the DuckDB oracle follows this convention too).
+    jw = np.where(
+        jaro > 0.7, jaro + pref_len * prefix_weight * (1.0 - jaro), jaro
+    )
+
+    # Empty-string convention follows the DuckDB oracle: any empty side
+    # (including both empty) scores 0.0 — empties must never fuzzy-match.
+    return np.where((la == 0) | (lb == 0), 0.0, jw)

@@ -1,0 +1,190 @@
+"""Multi-key blocking: MinHash-LSH over char shingles + sorted-neighborhood
+prefix keys + host keys, with hot-block salting.
+
+This is the single most important semantic→Spark transformation (SURVEY.md
+§2.3 J5): the reference bounds all-pairs work with a chunked cross join
+(resolver.py:2534-2562) and kNN searches (utils.py:313-359); at 10^12-doc
+scale candidate generation must instead be an equi-join on blocking keys.
+
+MinHash is hand-rolled with ``xxhash64`` column math rather than
+``ml.feature.MinHashLSH`` to guarantee cross-run determinism, avoid
+VectorUDT round-trips, and keep everything inside whole-stage codegen
+(SURVEY.md §7.3). ``xxhash64(shingle, perm_index)`` varies the hash per
+permutation; band hashes combine ``rows_per_band`` minima.
+
+Hot blocks (template boilerplate producing giant LSH buckets) are handled
+by salting: a block of size s > cap is split into ceil(s/cap) salt groups
+and pairs are generated only within a salt group. Recall loss is bounded
+because every doc carries ``bands + extra`` independent keys; duplicate
+pairs from multiple keys are deduped downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import BlockingConfig
+from .shingles import char_shingles
+
+
+def minhash_signature(text_col: str, cfg: BlockingConfig) -> Column:
+    """All ``num_perm`` min-hashes as ONE array<long> column, computed in a
+    single pass over the distinct char shingles.
+
+    Structure matters for speed: the shingle array is referenced exactly once
+    (evaluated once per row); the ``aggregate`` fold then computes, per
+    shingle, all permutation hashes ``xxhash64(shingle_hash, p, seed)`` (long
+    math, no string re-hash) and keeps the element-wise minimum via
+    ``zip_with``. A naive 64-column formulation re-evaluated the shingling 64
+    times per row and was ~60x slower.
+    """
+    hs = f"transform(array_distinct({_shingle_expr(text_col, cfg.shingle_size)}), x -> xxhash64(x, {cfg.seed}))"
+    perms = f"sequence(0, {cfg.num_perm - 1})"
+    return F.expr(
+        f"aggregate({hs}, "
+        f"transform({perms}, p -> 9223372036854775807L), "
+        f"(acc, h) -> zip_with(acc, transform({perms}, p -> xxhash64(h, p)), "
+        f"(a, b) -> least(a, b)))"
+    )
+
+
+def _shingle_expr(col: str, n: int) -> str:
+    return (
+        f"CASE WHEN length({col}) >= {n} THEN "
+        f"transform(sequence(1, length({col}) - {n} + 1), i -> substring({col}, i, {n})) "
+        f"ELSE array({col}) END"
+    )
+
+
+def lsh_block_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    cfg: BlockingConfig | None = None,
+) -> DataFrame:
+    """(doc_id, block_key) rows: one key per LSH band."""
+    cfg = cfg or BlockingConfig()
+    r = cfg.num_perm // cfg.bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(text_col, cfg).alias("mhs"),
+    )
+    # Band hash = xxhash64 over the band's r minima (banding via slice).
+    bands = F.expr(
+        f"transform(sequence(0, {cfg.bands - 1}), "
+        f"b -> concat('mh', b, ':', xxhash64(slice(mhs, b * {r} + 1, {r}), b)))"
+    )
+    return sig.select("doc_id", F.explode(bands).alias("block_key"))
+
+
+def sorted_neighborhood_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    cfg: BlockingConfig | None = None,
+) -> DataFrame:
+    """Prefix-block keys on the normalized text — the sorted-neighborhood
+    analog expressed as an equi-joinable key (docs sharing the first K chars
+    fall in one block; the window semantics are delivered by the in-block
+    pair join, block sizes being capped by salting)."""
+    cfg = cfg or BlockingConfig()
+    k = cfg.sorted_neighborhood_prefix
+    key = F.concat(
+        F.lit("sn:"),
+        F.substring(F.regexp_replace(F.col(text_col), r"\s+", ""), 1, k),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), key.alias("block_key")
+    ).where(F.length("block_key") > 3)
+
+
+def host_keys(
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Normalized-host blocking key from the url (north rule's second key
+    family). Strips scheme, www., port and path; pure JVM regex."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:www\.)?([^/:?#]+)", 1)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(F.lit("host:"), host).alias("block_key"),
+    ).where(F.col("block_key") != "host:")
+
+
+def salt_blocks(
+    blocks: DataFrame,
+    cfg: BlockingConfig | None = None,
+) -> DataFrame:
+    """Split oversized blocks into salt groups of at most ``max_block_size``
+    members. Deterministic: the salt is xxhash64(doc_id) mod n_salts.
+
+    This caps the within-block pair fan-out at cap^2/2 regardless of skew —
+    the explicit analog of AQE's skew-join splitting, applied before the
+    self-join so the quadratic blow-up never materializes.
+    """
+    cfg = cfg or BlockingConfig()
+    counts = blocks.groupBy("block_key").agg(F.count("*").alias("block_n"))
+    # Blocks of size 1 produce no pairs — drop them before the join.
+    useful = counts.where(F.col("block_n") >= 2)
+    salted = (
+        blocks.join(useful, "block_key")
+        .withColumn(
+            "n_salts",
+            F.ceil(F.col("block_n") / F.lit(cfg.max_block_size)).cast("int"),
+        )
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts") <= 1, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
+            ),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws("#", "block_key", F.col("salt").cast("string")).alias(
+                "block_key"
+            ),
+        )
+    )
+    return salted
+
+
+def candidate_pairs(
+    blocks: DataFrame,
+    cfg: BlockingConfig | None = None,
+) -> DataFrame:
+    """Self-join blocks on block_key, canonical order src < dst, dedup pairs
+    that co-occur in several blocks. The shuffle key is block_key (bounded
+    cardinality per key after salting); the dedup groupBy shuffles on the
+    pair itself."""
+    salted = salt_blocks(blocks, cfg)
+    a = salted.alias("a")
+    b = salted.alias("b")
+    return (
+        a.join(b, "block_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def blocking_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    url_col: str | None = None,
+    cfg: BlockingConfig | None = None,
+) -> DataFrame:
+    """Union of all key families — MinHash-LSH bands, sorted-neighborhood
+    prefix, and (when urls exist) normalized host."""
+    cfg = cfg or BlockingConfig()
+    keys = lsh_block_keys(docs, id_col, text_col, cfg).unionByName(
+        sorted_neighborhood_keys(docs, id_col, text_col, cfg)
+    )
+    if url_col is not None:
+        keys = keys.unionByName(host_keys(docs, id_col, url_col))
+    return keys

@@ -78,35 +78,72 @@ def tfidf_weights(
     )
 
 
+def doc_vectors(
+    weights: DataFrame,
+    top_k: int | None = 128,
+) -> DataFrame:
+    """Collapse the exploded weight table into one ``map<long, double>``
+    vector column per doc (shingles hashed to int64 with xxhash64).
+
+    ``top_k`` prunes each doc to its k highest-weight shingles (then
+    re-L2-normalizes) — the scale lever that bounds per-pair dot-product cost
+    and the shuffle bytes of attaching vectors to candidate pairs. The
+    reference's ``max_features=10000`` cap (config.py:60) plays the same
+    per-corpus role; per-doc top-k is the shuffle-friendly analog.
+    """
+    w = weights.select(
+        "doc_id", F.xxhash64("shingle").alias("h"), "w"
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("h"))
+        )
+        w = w.withColumn("rn", rn).where(F.col("rn") <= top_k).drop("rn")
+        norm = w.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l2")
+        )
+        w = w.join(norm, "doc_id").select(
+            "doc_id", "h", (F.col("w") / F.col("l2")).alias("w")
+        )
+    return w.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("h", "w"))).alias("vec")
+    )
+
+
 def pair_cosine(
     pairs: DataFrame,
     weights: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    top_k: int | None = 128,
 ) -> DataFrame:
-    """Cosine similarity per candidate pair via shared-shingle join:
-    ``cos = sum(w_src * w_dst)`` over shingles both docs contain (vectors are
-    already L2-normalized). Re-expresses reference utils.py:211-232
-    (row-wise TF-IDF cosine) as an equi-join + aggregation.
+    """Cosine similarity per candidate pair: ``cos = sum(w_src * w_dst)``
+    over shared shingles (vectors L2-normalized). Re-expresses reference
+    utils.py:211-232 (row-wise TF-IDF cosine).
 
-    Plan shape: pairs × weights on src (explodes by src's shingles), then
-    equi-join on (dst, shingle) — both joins are shuffle hash joins on keys
-    with bounded fan-out because blocking caps block sizes upstream.
+    Physical strategy: attach each side's pruned weight map (two linear
+    equi-joins), then a JVM ``map_zip_with`` + ``aggregate`` dot product —
+    whole-stage-codegen, no Python, no per-shingle shuffle. An earlier
+    exploded-join formulation shuffled pairs × shingles rows (quadratic in
+    practice) and was replaced by this after profiling at sf0.001.
     """
-    wa = weights.select(
-        F.col("doc_id").alias(src_col),
-        "shingle",
-        F.col("w").alias("w_a"),
-    )
-    wb = weights.select(
-        F.col("doc_id").alias(dst_col),
-        "shingle",
-        F.col("w").alias("w_b"),
+    vecs = doc_vectors(weights, top_k=top_k)
+    dot = F.expr(
+        "aggregate(map_values(map_zip_with(vec_a, vec_b,"
+        " (k, x, y) -> coalesce(x, 0D) * coalesce(y, 0D))),"
+        " 0D, (acc, v) -> acc + v)"
     )
     return (
         pairs.select(src_col, dst_col)
-        .join(wa, src_col)
-        .join(wb, [dst_col, "shingle"])
-        .groupBy(src_col, dst_col)
-        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("tfidf_cos"))
+        .join(
+            vecs.select(F.col("doc_id").alias(src_col), F.col("vec").alias("vec_a")),
+            src_col,
+        )
+        .join(
+            vecs.select(F.col("doc_id").alias(dst_col), F.col("vec").alias("vec_b")),
+            dst_col,
+        )
+        .select(src_col, dst_col, dot.alias("tfidf_cos"))
     )

@@ -1,0 +1,180 @@
+"""The flagship end-to-end resolve pipeline (SURVEY.md §7.1):
+
+documents(url, warc_ts, html, text, lang)
+  1 EXTRACT+NORMALIZE  byte-identical html→text UDF; P1 normalization;
+                       doc_id = xxhash64(url)
+  2 BLOCK              MinHash-LSH bands ∪ sorted-neighborhood ∪ host keys,
+                       hot blocks salted
+  3 SCORE              TF-IDF-cosine (JVM join) + Jaro-Winkler (Arrow UDF)
+                       + Levenshtein (JVM builtin); weighted; threshold τ
+  4 CLUSTER            large-star/small-star connected components
+  5 FINALIZE           canonical election (V11), per-cluster stats,
+                       confidence (C10 shape), review flags (C11)
+
+Each stage optionally checkpoints to a parquet stage table with lineage
+rows (CheckpointManager) so a killed run resumes after the last committed
+stage. Stage order mirrors the reference's ``_process_pipeline``
+(resolver.py:1552-1642).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import ResolverConfig
+from ..functions.extraction import extracted_text
+from ..functions.normalize import confidence_bin, normalize_entity_text
+from ..operators.blocking import blocking_keys, candidate_pairs
+from ..operators.canonical import canonical_map
+from ..operators.connected_components import connected_components
+from ..operators.scoring import edges_above_threshold, make_jw_udf, score_pairs
+from ..sources.checkpoint import CheckpointManager
+
+
+def prepare_documents(docs: DataFrame, cfg: ResolverConfig) -> DataFrame:
+    """Stage 1: extraction + normalization + stable doc ids."""
+    body = extracted_text(F.col("html"), F.col("text"))
+    return docs.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        "warc_ts",
+        "lang",
+        body.alias("body_text"),
+    ).withColumn(
+        "norm_text",
+        normalize_entity_text(
+            F.col("body_text"), cfg.replacements, cfg.suffixes_to_remove
+        ),
+    )
+
+
+def resolve_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: ResolverConfig | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Resolve a documents table into entity clusters.
+
+    Returns one row per input document:
+    (doc_id, url, cluster, canonical_text, cluster_size, avg_pair_score,
+     name_similarity, confidence_score, confidence_category, needs_review,
+     review_reason).
+    """
+    cfg = cfg or ResolverConfig()
+    ckpt = CheckpointManager(spark, checkpoint_dir or cfg.runtime.checkpoint_dir)
+
+    prepared = ckpt.stage("01_normalized", lambda: prepare_documents(docs, cfg))
+
+    pairs = ckpt.stage(
+        "02_pairs",
+        lambda: candidate_pairs(
+            blocking_keys(
+                prepared, "doc_id", "norm_text", url_col="url", cfg=cfg.blocking
+            ),
+            cfg.blocking,
+        ),
+    )
+
+    edges = ckpt.stage(
+        "03_edges",
+        lambda: edges_above_threshold(
+            score_pairs(pairs, prepared, "doc_id", "norm_text", cfg.scoring),
+            cfg.scoring.edge_threshold,
+        ),
+    )
+
+    def build_clusters() -> DataFrame:
+        labels = connected_components(
+            edges, max_iterations=cfg.clustering.cc_max_iterations
+        )
+        return prepared.join(
+            labels.withColumnsRenamed({"vertex": "doc_id", "component": "cluster"}),
+            "doc_id",
+            "left",
+        ).withColumn("cluster", F.coalesce("cluster", "doc_id"))
+
+    clustered = ckpt.stage("04_clusters", build_clusters)
+
+    def build_resolved() -> DataFrame:
+        canon = canonical_map(clustered, "cluster", "norm_text")
+        # cluster_probability analog: mean incident edge score per doc
+        # (reference HDBSCAN probabilities, resolver.py:450 → SURVEY G7).
+        incident = (
+            edges.select(F.col("src").alias("doc_id"), "score")
+            .unionByName(edges.select(F.col("dst").alias("doc_id"), "score"))
+            .groupBy("doc_id")
+            .agg(F.avg("score").alias("avg_pair_score"))
+        )
+        jw = make_jw_udf(64)
+        out = (
+            clustered.join(canon, "cluster")
+            .join(incident, "doc_id", "left")
+            .withColumn("avg_pair_score", F.coalesce("avg_pair_score", F.lit(1.0)))
+            .withColumn("name_similarity", jw("norm_text", "canonical_text"))
+        )
+        # C10-shaped confidence: weighted sum of name similarity, cluster
+        # probability, log-size factor and cohesion-by-similarity
+        # (reference resolver.py:1086-1173; address terms are absent for the
+        # web-page payload, weights renormalized accordingly).
+        c = cfg.confidence
+        wsum = (
+            c.name_similarity_weight
+            + c.avg_cluster_prob_weight
+            + c.cluster_size_weight
+            + c.cohesion_weight
+        )
+        size_factor = F.least(
+            F.log(F.col("cluster_size").cast("double") + 1.0) / F.lit(3.5), F.lit(1.0)
+        )
+        conf = (
+            c.name_similarity_weight * F.col("name_similarity")
+            + c.avg_cluster_prob_weight * F.col("avg_pair_score")
+            + c.cluster_size_weight * size_factor
+            + c.cohesion_weight * F.col("name_similarity")
+        ) / F.lit(wsum)
+        # Noise analog: singletons get 0.5 x name_similarity floor like the
+        # reference's noise rule (resolver.py:1154-1160).
+        conf = F.when(F.col("cluster_size") == 1, F.lit(0.5)).otherwise(conf)
+        out = (
+            out.withColumn(
+                "confidence_score", F.least(F.greatest(conf, F.lit(0.0)), F.lit(1.0))
+            )
+            .withColumn("confidence_category", confidence_bin(F.col("confidence_score")))
+        )
+        # C11 review flags (reference resolver.py:1199-1227): OR-combined
+        # masks with a csv reason string built from an array of fired rules.
+        reasons = F.array_compact(
+            F.array(
+                F.when(
+                    F.col("confidence_score") < c.review_confidence_threshold,
+                    F.lit("low_confidence"),
+                ),
+                F.when(
+                    (F.col("cluster_size") == 1)
+                    & (F.col("name_similarity") < 1.0),
+                    F.lit("singleton_changed"),
+                ),
+                F.when(
+                    F.col("name_similarity") < 1.0 - c.review_change_threshold,
+                    F.lit("high_change"),
+                ),
+            )
+        )
+        return out.select(
+            "doc_id",
+            "url",
+            "cluster",
+            "norm_text",
+            "canonical_text",
+            "cluster_size",
+            "avg_pair_score",
+            "name_similarity",
+            "confidence_score",
+            "confidence_category",
+            (F.size(reasons) > 0).alias("needs_review"),
+            F.array_join(reasons, ",").alias("review_reason"),
+        )
+
+    return ckpt.stage("05_resolved", build_resolved)
