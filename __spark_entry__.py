@@ -1,38 +1,530 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full entity-resolution pipeline on a
+deterministic Common-Crawl-style documents table derived from sf0.001.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md §2. SQL-expressible operators carry a DuckDB oracle;
+the LSH/scorer/CC/pipeline operators are rows-only (documented per entry).
+
+Column-name parity: every computed column is aliased identically in the
+Spark query and the oracle SQL. Float aggregates are rounded in BOTH
+engines so summation-order differences cannot flip the value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpu_entity_resolver_spark.config import ResolverConfig
+from gpu_entity_resolver_spark.functions.normalize import (
+    address_key,
+    address_key_sql,
+    address_score,
+    address_score_sql,
+    normalize_entity_text,
+    normalize_entity_text_sql,
+)
+from gpu_entity_resolver_spark.functions.textstats import (
+    doc_fingerprint,
+    doc_fingerprint_sql,
+    lang_id_guess,
+    lang_id_guess_sql,
+    quality_stats,
+    quality_stats_sql,
+    token_count,
+    token_count_sql,
+)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Resolve the synthetic web-page corpus at sf0.001 and return the
+    per-document resolution (clusters, canonical text, confidence)."""
+    from gpu_entity_resolver_spark.plans.resolve import resolve_documents
+    from gpu_entity_resolver_spark.sources.webgen import (
+        INPUT_COLUMNS,
+        generate_documents,
+    )
+
+    docs = generate_documents(spark, "/root/testdata/sf0.001").select(*INPUT_COLUMNS)
+    return resolve_documents(spark, docs)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries (SQL-expressible operators, SURVEY.md §2.2-2.6)
+# ---------------------------------------------------------------------------
+
+def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1 name normalization (SURVEY.md §2.2 P1; reference resolver.py:130-182)
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", normalize_entity_text(F.col("text")).alias("norm_text")
+    )
+
+
+def _q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality scoring + token counting (training-data ops; brief §text-analysis)
+    stats = quality_stats(F.col("text"))
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", *[c.alias(n) for n, c in stats.items()]
+    )
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", lang_id_guess(F.col("text")).alias("lang_guess")
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # document fingerprinting (exact-dedup key)
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact dedup groups over the fingerprint (hash-groupBy)
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return (
+        d.groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def _q_addr_key_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3 address key + P4 completeness score over components synthesized
+    # identically in both engines (reference utils.py:99-166)
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 1000).cast("string").alias("num"),
+        F.col("c_mktsegment").alias("street"),
+        F.col("c_name").alias("city"),
+        F.when(F.col("c_nationkey") < 10, "IL").otherwise("X").alias("state"),
+        F.lpad((F.col("c_custkey") % 100000).cast("string"), 5, "0").alias("zip"),
+    )
+    return c.select(
+        "c_custkey",
+        address_key(
+            F.col("num"), F.col("street"), F.col("city"), F.col("state"), F.col("zip")
+        ).alias("addr_key"),
+        address_score(
+            F.col("num"), F.col("street"), F.col("city"), F.col("state"), F.col("zip")
+        ).alias("addr_score"),
+    )
+
+
+def _q_agg_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 groupby nunique (reference resolver.py:264, 948-958)
+    return (
+        _read(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2 multi-agg count/mean/std (reference resolver.py:1113-1117)
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def _q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 value_counts (reference utils.py:49; resolver.py:681)
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_minmax_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5 min/max/nunique per group — range-conflict detection shape
+    # (reference resolver.py:867-874)
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+def _q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A6 most-frequent value per group (reference resolver.py:681),
+    # deterministic tie-break on the value itself
+    cnt = (
+        _read(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1/W5 winner-per-group / top-k (reference resolver.py:590-591,
+    # utils.py:202-205) with deterministic tie-breaks
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _read(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def _q_chain_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W2 cumcount+1 chain numbering (reference resolver.py:979)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        _read(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", F.row_number().over(w).alias("chain_no"))
+    )
+
+
+def _q_group_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3 ngroup minting (reference resolver.py:857-859) via dense_rank
+    return _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.dense_rank().over(Window.orderBy("c_mktsegment")).alias("segment_id"),
+    )
+
+
+def _q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1 broadcast map-apply join + aggregation (reference resolver.py:691)
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J6 anti-join (reference isin/setdiff shapes, resolver.py:2117)
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def _q_reason_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10 csv-reason explode + count (reference resolver.py:1322-1323):
+    # build the reason csv from boolean flags, then explode and count
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            ",",
+            F.array_compact(
+                F.array(
+                    F.when(F.col("l_discount") > 0.05, F.lit("discounted")),
+                    F.when(F.col("l_tax") > 0.04, F.lit("high_tax")),
+                    F.when(F.col("l_quantity") > 40, F.lit("bulk")),
+                )
+            ),
+        ).alias("reasons")
+    )
+    return (
+        li.where(F.col("reasons") != "")
+        .select(F.explode(F.split("reasons", ",")).alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8 distribution stats (reference resolver.py:1311) — exact percentile
+    return (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9D)"), 4).alias("p90"),
+        )
+    )
+
+
+def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # brute-force cosine top-k (similarity-search baseline); rank ints only
+    # so float formatting can't break the hash — ties broken by neighbor id
+    from gpu_entity_resolver_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: LSH, scorer, CC, full pipeline)
+# ---------------------------------------------------------------------------
+
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G4 large-star/small-star CC on a deterministic graph derived from
+    # orders (verified against a union-find oracle in tests/)
+    from gpu_entity_resolver_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 1000).alias("src"),
+        (F.col("o_custkey") % 1000 + 1000).alias("dst"),
+    )
+    return connected_components(edges)
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash-LSH near-dup clusters over documents (blocking + cosine + CC)
+    from gpu_entity_resolver_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash fingerprints + 16-bit bands
+    from gpu_entity_resolver_spark.operators.dedup import simhash_bands
+
+    return simhash_bands(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact n-gram Jaccard over blocked candidate pairs
+    from gpu_entity_resolver_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup via random-hyperplane LSH buckets
+    from gpu_entity_resolver_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.9
+    ).select("src", "dst", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-bucketed approximate top-k (scale path of similarity search)
+    from gpu_entity_resolver_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def _q_resolve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full blocking→scoring→CC→canonical pipeline on the synthetic web corpus
+    from gpu_entity_resolver_spark.plans.resolve import resolve_documents
+    from gpu_entity_resolver_spark.sources.webgen import (
+        INPUT_COLUMNS,
+        generate_documents,
+    )
+
+    docs = generate_documents(spark, sf_dir).select(*INPUT_COLUMNS)
+    return resolve_documents(spark, docs).select(
+        "url", "cluster", "canonical_text", "cluster_size", "confidence_category"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "normalize_text": _q_normalize,
+        "textstats": _q_textstats,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "exact_dedup": _q_exact_dedup,
+        "addr_key_score": _q_addr_key_score,
+        "agg_nunique": _q_agg_nunique,
+        "agg_stats": _q_agg_stats,
+        "value_counts": _q_value_counts,
+        "minmax_range": _q_minmax_range,
+        "mode_per_group": _q_mode_per_group,
+        "topk_per_group": _q_topk_per_group,
+        "chain_numbering": _q_chain_numbering,
+        "group_ids": _q_group_ids,
+        "join_enrich": _q_join_enrich,
+        "anti_semi": _q_anti_semi,
+        "reason_breakdown": _q_reason_breakdown,
+        "percentiles": _q_percentiles,
+        "knn_bruteforce": _q_knn_bruteforce,
+        # rows-only (no oracle_sql entry):
+        "connected_components": _q_connected_components,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        "knn_ivf": _q_knn_ivf,
+        "resolve_pipeline": _q_resolve_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stats = quality_stats_sql("text")
+    addr_key_expr = address_key_sql("num", "street", "city", "state", "zip")
+    addr_score_expr = address_score_sql("num", "street", "city", "state", "zip")
+    return {
+        "normalize_text": (
+            f"SELECT doc_id, {normalize_entity_text_sql('text')} AS norm_text "
+            "FROM documents"
+        ),
+        "textstats": (
+            "SELECT doc_id, "
+            + ", ".join(f"{expr} AS {name}" for name, expr in stats.items())
+            + " FROM documents"
+        ),
+        "langid": (
+            f"SELECT doc_id, {lang_id_guess_sql('text')} AS lang_guess FROM documents"
+        ),
+        "fingerprint": (
+            f"SELECT doc_id, {doc_fingerprint_sql('text')} AS fingerprint "
+            "FROM documents"
+        ),
+        "exact_dedup": (
+            f"SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs, "
+            f"min(doc_id) AS keeper FROM (SELECT doc_id, "
+            f"{doc_fingerprint_sql('text')} AS fingerprint FROM documents) "
+            "GROUP BY fingerprint"
+        ),
+        "addr_key_score": (
+            "SELECT c_custkey, "
+            f"{addr_key_expr} AS addr_key, {addr_score_expr} AS addr_score "
+            "FROM (SELECT c_custkey, "
+            "CAST(c_custkey % 1000 AS VARCHAR) AS num, "
+            "c_mktsegment AS street, c_name AS city, "
+            "CASE WHEN c_nationkey < 10 THEN 'IL' ELSE 'X' END AS state, "
+            "lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS zip "
+            "FROM customer)"
+        ),
+        "agg_nunique": (
+            "SELECT o_custkey, CAST(count(DISTINCT o_orderstatus) AS BIGINT) "
+            "AS n_statuses, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY o_custkey"
+        ),
+        "agg_stats": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "round(avg(l_quantity), 4) AS avg_qty, "
+            "round(stddev_samp(l_quantity), 4) AS std_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "value_counts": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY event_type"
+        ),
+        "minmax_range": (
+            "SELECT l_suppkey, min(l_quantity) AS min_qty, "
+            "max(l_quantity) AS max_qty, "
+            "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
+            "FROM lineitem GROUP BY l_suppkey"
+        ),
+        "mode_per_group": (
+            "SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM ("
+            "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            "row_number() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY count(*) DESC, o_orderpriority ASC) AS rn "
+            "FROM orders GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1"
+        ),
+        "topk_per_group": (
+            "SELECT o_custkey, o_orderkey, rk FROM ("
+            "SELECT o_custkey, o_orderkey, CAST(row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC"
+            ") AS INTEGER) AS rk FROM orders) WHERE rk <= 3"
+        ),
+        "chain_numbering": (
+            "SELECT o_custkey, o_orderkey, CAST(row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
+            ") AS INTEGER) AS chain_no FROM orders"
+        ),
+        "group_ids": (
+            "SELECT c_custkey, CAST(dense_rank() OVER (ORDER BY c_mktsegment) "
+            "AS INTEGER) AS segment_id FROM customer"
+        ),
+        "join_enrich": (
+            "SELECT p_brand, round(sum(l_extendedprice * (1.0 - l_discount)), 2) "
+            "AS revenue, CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
+        ),
+        "anti_semi": (
+            "SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "reason_breakdown": (
+            "SELECT reason, CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(string_split(reasons, ',')) AS reason FROM ("
+            "SELECT concat_ws(',', "
+            "CASE WHEN l_discount > 0.05 THEN 'discounted' END, "
+            "CASE WHEN l_tax > 0.04 THEN 'high_tax' END, "
+            "CASE WHEN l_quantity > 40 THEN 'bulk' END) AS reasons "
+            "FROM lineitem) WHERE reasons <> '') GROUP BY reason"
+        ),
+        "percentiles": (
+            "SELECT l_linestatus, "
+            "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
+            "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90 "
+            "FROM lineitem GROUP BY l_linestatus"
+        ),
+        "knn_bruteforce": (
+            "SELECT query_id, neighbor_id, rk AS rank FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, c.embedding) DESC, "
+            "c.vec_id ASC) AS INTEGER) AS rk "
+            "FROM embeddings q, embeddings c "
+            "WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rk <= 5"
+        ),
+    }

@@ -1,0 +1,92 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline = the flagship resolve pipeline (docs/sec is the metric that maps
+to the north rule's pages/sec) plus representative operator queries.
+
+Scaling evidence (north rule: >=0.8 efficiency from N to 4N executors,
+sandbox substitute = two parallelism levels): run twice, e.g.
+    SPARK_GRAFT_CPUS=8  python bench.py
+    SPARK_GRAFT_CPUS=32 python bench.py
+and compare docs_per_sec (see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    import __spark_entry__ as entry_mod
+    from gpu_entity_resolver_spark.session import get_spark
+    from gpu_entity_resolver_spark.plans.resolve import resolve_documents
+    from gpu_entity_resolver_spark.sources.webgen import (
+        INPUT_COLUMNS,
+        generate_documents,
+    )
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # Flagship: full resolve pipeline; docs/sec headline.
+    t0 = time.time()
+    docs = generate_documents(spark, sf_dir).select(*INPUT_COLUMNS)
+    docs = docs.localCheckpoint(eager=True)  # exclude generator cost
+    n_docs = docs.count()
+    gen_s = time.time() - t0
+
+    t0 = time.time()
+    resolved = resolve_documents(spark, docs)
+    n_resolved = resolved.count()
+    timings["resolve_pipeline"] = round(time.time() - t0, 3)
+    docs_per_sec = round(n_docs / timings["resolve_pipeline"], 1)
+
+    # Operator benchmarks (each timed to first materialization).
+    queries = entry_mod.queries()
+    for name in [
+        "minhash_dedup",
+        "exact_dedup",
+        "agg_stats",
+        "join_enrich",
+        "topk_per_group",
+        "knn_bruteforce",
+        "simhash",
+        "connected_components",
+    ]:
+        t0 = time.time()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "n_resolved": n_resolved,
+                "docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+                "gen_sec": round(gen_s, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

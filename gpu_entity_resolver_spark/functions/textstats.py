@@ -50,8 +50,10 @@ def quality_stats(col: Column) -> dict[str, Column]:
         hits = F.size(F.regexp_extract_all(low, F.lit(rf"\b{w}\b"), F.lit(0)))
         stop_hits = hits if stop_hits is None else stop_hits + hits
     n_tokens = token_count(col)
+    # floor() in both renderers: DuckDB's CAST(double AS BIGINT) rounds
+    # half-even while Spark's cast truncates — floor is the common ground.
     mean_tok_len_x100 = F.when(n_tokens > 0,
-        ((n_chars - (n_tokens - 1)) * 100 / n_tokens).cast("long")
+        F.floor((n_chars - (n_tokens - 1)) * 100 / n_tokens)
     ).otherwise(F.lit(0)).cast("long")
     return {
         "n_chars": n_chars,
@@ -76,7 +78,7 @@ def quality_stats_sql(expr: str) -> dict[str, str]:
     n_tokens = token_count_sql(expr)
     mean = (
         f"CAST(CASE WHEN {n_tokens} > 0 THEN "
-        f"CAST(({n_chars} - ({n_tokens} - 1)) * 100 / {n_tokens} AS BIGINT) "
+        f"floor(({n_chars} - ({n_tokens} - 1)) * 100 / {n_tokens}) "
         f"ELSE 0 END AS BIGINT)"
     )
     return {
@@ -101,10 +103,10 @@ def lang_id_guess(col: Column) -> Column:
             total = h if total is None else total + h
         return total
 
-    en = hits(("the", "and", "of", "is", "with"))
-    de = hits(("der", "die", "das", "und", "mit"))
-    fr = hits(("le", "la", "les", "et", "avec"))
-    es = hits(("el", "los", "las", "y", "con"))
+    en = hits(_LANG_WORDS["en"])
+    de = hits(_LANG_WORDS["de"])
+    fr = hits(_LANG_WORDS["fr"])
+    es = hits(_LANG_WORDS["es"])
     best = F.greatest(en, de, fr, es)
     return (
         F.when(best == 0, "und")
@@ -112,6 +114,35 @@ def lang_id_guess(col: Column) -> Column:
         .when(de == best, "de")
         .when(fr == best, "fr")
         .otherwise("es")
+    )
+
+
+_LANG_WORDS = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "das", "und", "mit"),
+    "fr": ("le", "la", "les", "et", "avec"),
+    "es": ("el", "los", "las", "y", "con"),
+}
+
+
+def lang_id_guess_sql(expr: str) -> str:
+    """DuckDB twin of :func:`lang_id_guess` (same word lists, same
+    greatest/tie-break order)."""
+    t = f"lower(coalesce({expr}, ''))"
+    hits = {
+        lang: " + ".join(
+            f"len(regexp_extract_all({t}, '\\b{w}\\b'))" for w in words
+        )
+        for lang, words in _LANG_WORDS.items()
+    }
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    best = f"greatest({en}, {de}, {fr}, {es})"
+    return (
+        f"(CASE WHEN {best} = 0 THEN 'und' "
+        f"WHEN ({en}) = {best} THEN 'en' "
+        f"WHEN ({de}) = {best} THEN 'de' "
+        f"WHEN ({fr}) = {best} THEN 'fr' "
+        f"ELSE 'es' END)"
     )
 
 

@@ -1,0 +1,232 @@
+"""Corpus-scale deduplication operators for a training-data pipeline.
+
+These extend the reference's entity-resolution scope (per the build brief):
+exact dedup, MinHash-LSH near-dup, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — all first-class DataFrame jobs reusing the
+engine's blocking/shingling/CC primitives.
+
+Design notes for 100 TB:
+- exact dedup is one hash-groupBy (map-side partial agg free via Catalyst);
+- near-dup pipelines never enumerate cross pairs outside blocking keys;
+- SimHash is computed in ONE aggregate-fold expression per doc (same
+  pattern as the MinHash signature) and banded into equi-joinable keys;
+- verification joins carry only (id, key/array) columns — texts/vectors are
+  attached late and only for surviving candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import BlockingConfig
+from ..functions.textstats import doc_fingerprint
+from .blocking import candidate_pairs, lsh_block_keys
+from .connected_components import connected_components
+from .shingles import pair_cosine, tfidf_weights
+
+
+def exact_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (whitespace/case-normalized) documents:
+    (fingerprint, n_docs, keeper) with keeper = min id. One shuffle."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: BlockingConfig | None = None,
+    cosine_threshold: float = 0.85,
+) -> DataFrame:
+    """Near-duplicate clusters via MinHash-LSH blocking + TF-IDF-cosine
+    verification + connected components.
+
+    Returns (doc_id, dup_group, group_size) for every doc in a near-dup
+    group of size >= 2, dup_group = min doc id of the group.
+    """
+    cfg = cfg or BlockingConfig()
+    norm = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("nt"),
+    )
+    pairs = candidate_pairs(lsh_block_keys(norm, "doc_id", "nt", cfg), cfg)
+    cos = pair_cosine(pairs, tfidf_weights(norm, "doc_id", "nt"))
+    edges = cos.where(F.col("tfidf_cos") >= cosine_threshold)
+    labels = connected_components(edges)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("group_size"))
+    return (
+        labels.join(sizes, "component")
+        .where(F.col("group_size") >= 2)
+        .select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("dup_group"),
+            "group_size",
+        )
+    )
+
+
+def simhash64(text_col: str, shingle_size: int = 4, seed: int = 42):
+    """64-bit SimHash of a string column as ONE Column expression.
+
+    Each distinct char shingle votes +1/-1 per bit position (from its
+    xxhash64); the sign of each bit's total becomes the fingerprint bit.
+    Single pass via aggregate-fold, all JVM."""
+    hs = (
+        f"transform(array_distinct(CASE WHEN length({text_col}) >= {shingle_size} "
+        f"THEN transform(sequence(1, length({text_col}) - {shingle_size} + 1), "
+        f"i -> substring({text_col}, i, {shingle_size})) "
+        f"ELSE array({text_col}) END), x -> xxhash64(x, {seed}))"
+    )
+    bits = "sequence(0, 63)"
+    counters = (
+        f"aggregate({hs}, transform({bits}, b -> 0L), "
+        f"(acc, h) -> zip_with(acc, {bits}, "
+        f"(a, b) -> a + CASE WHEN shiftright(h, b) % 2 != 0 THEN 1L ELSE -1L END))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({counters}, {bits}, "
+        f"(c, b) -> CASE WHEN c > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        f"0L, (acc, v) -> acc | v)"
+    )
+
+
+def simhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+) -> DataFrame:
+    """(doc_id, band, band_bits, simhash) — 16-bit bands of the SimHash as
+    equi-joinable near-dup keys (docs within hamming distance ~3 share at
+    least one of 4 bands by pigeonhole)."""
+    bits_per = 64 // n_bands
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash64(text_col).alias("simhash"),
+    )
+    bands = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), "
+        f"b -> struct(b as band, shiftright(simhash, b * {bits_per}) "
+        f"& {(1 << bits_per) - 1} as band_bits))"
+    )
+    return sh.select(
+        "doc_id", "simhash", F.explode(bands).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band"), F.col("bb.band_bits"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    cfg: BlockingConfig | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (blocked, never all-pairs):
+    (src, dst, jaccard). Set intersection/union are JVM array ops over the
+    distinct-shingle arrays attached per side."""
+    cfg = cfg or BlockingConfig()
+    norm = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("nt"),
+    )
+    pairs = candidate_pairs(lsh_block_keys(norm, "doc_id", "nt", cfg), cfg)
+    grams = norm.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(CASE WHEN length(nt) >= {n} THEN "
+            f"transform(sequence(1, length(nt) - {n} + 1), i -> substring(nt, i, {n})) "
+            f"ELSE array(nt) END)"
+        ).alias("g"),
+    )
+    return (
+        pairs.join(grams.withColumnsRenamed({"doc_id": "src", "g": "g_a"}), "src")
+        .join(grams.withColumnsRenamed({"doc_id": "dst", "g": "g_b"}), "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                F.size(F.array_intersect("g_a", "g_b")).cast("double")
+                / F.size(F.array_union("g_a", "g_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates via random-hyperplane LSH buckets +
+    exact in-bucket cosine. Hyperplane normals are deterministic
+    pseudo-random values derived from xxhash64(plane, dim) — no driver-side
+    state, reproducible across cluster sizes.
+
+    Returns (src, dst, cosine) with cosine >= threshold.
+    """
+    # sign bit per plane: dot(vec, normal_p) > 0; normal_p[d] in (-1, 1)
+    # (Spark's % keeps the sign of the dividend, giving a symmetric range)
+    sig = F.expr(
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"(v, d) -> struct(v as v, d as d)), "
+        f"transform(sequence(0, {n_planes - 1}), p -> cast(0.0 as double)), "
+        f"(acc, e) -> zip_with(acc, sequence(0, {n_planes - 1}), "
+        f"(a, p) -> a + e.v * (cast(xxhash64(e.d, p, {seed}) % 1000000 as double) / 1000000.0)))"
+    )
+    buckets = (
+        embeddings.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(vec_col).alias("vec"),
+            sig.alias("sig"),
+        ).select(
+            "doc_id",
+            "vec",
+            F.expr(
+                f"aggregate(zip_with(sig, sequence(0, {n_planes - 1}), "
+                f"(s, p) -> CASE WHEN s > 0 THEN shiftleft(1L, p) ELSE 0L END), "
+                f"0L, (acc, v) -> acc | v)"
+            ).alias("bucket"),
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.vec, b.vec, (x, y) -> cast(x as double) * y), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    norm_a = F.expr(
+        "sqrt(aggregate(a.vec, 0D, (acc, x) -> acc + cast(x as double) * x))"
+    )
+    norm_b = F.expr(
+        "sqrt(aggregate(b.vec, 0D, (acc, x) -> acc + cast(x as double) * x))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            (dot / (norm_a * norm_b)).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
