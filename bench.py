@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Corpus amplification for the flagship pipeline (the driver's documents
+    # table caps at 5000 base rows; amplification exercises real scale).
+    amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
     import __spark_entry__ as entry_mod
@@ -42,7 +45,7 @@ def main() -> None:
 
     # Flagship: full resolve pipeline; docs/sec headline.
     t0 = time.time()
-    docs = generate_documents(spark, sf_dir).select(*INPUT_COLUMNS)
+    docs = generate_documents(spark, sf_dir, amplify=amplify).select(*INPUT_COLUMNS)
     docs = docs.localCheckpoint(eager=True)  # exclude generator cost
     n_docs = docs.count()
     gen_s = time.time() - t0
@@ -82,6 +85,7 @@ def main() -> None:
                 "n_resolved": n_resolved,
                 "docs_per_sec": docs_per_sec,
                 "cpus": cpus,
+                "amplify": amplify,
                 "gen_sec": round(gen_s, 3),
             }
         )

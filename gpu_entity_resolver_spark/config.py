@@ -41,6 +41,10 @@ class BlockingConfig:
 
     shingle_size: int = 4                 # char n-gram width for MinHash
     num_perm: int = 64                    # MinHash permutations
+    # MinHash over the 1/m deterministic subsample of shingles (hash ≡ 0
+    # mod m): same Jaccard estimator over sampled sets, m x cheaper
+    # signatures on long documents.
+    minhash_shingle_mod: int = 4
     bands: int = 8                        # LSH bands (rows = num_perm // bands)
     # measured at sf0.001 (tests/test_blocking.py): 8 bands x 8 rows gives
     # 99.9% same-entity recall (with SN+host keys) at ~2.4x the candidate
@@ -48,7 +52,7 @@ class BlockingConfig:
     seed: int = 42                        # deterministic hash seed
     sorted_neighborhood_prefix: int = 8   # chars of normalized text for SN key
     sorted_neighborhood_window: int = 5   # neighbors each side in sorted order
-    max_block_size: int = 200             # blocks above this get salted/capped
+    max_block_size: int = 128             # blocks above this get salted/capped
     salt_buckets: int = 8                 # salt fan-out for hot blocks
 
 
@@ -63,17 +67,34 @@ class ScoringConfig:
     proportions become score weights (SURVEY.md §2.7 V6).
     """
 
-    tfidf_weight: float = 0.45
-    jaro_winkler_weight: float = 0.35
-    levenshtein_weight: float = 0.20
-    # Mid-gap of the measured score distributions on the labeled fixture
-    # (false-pair max 0.505, true-pair min 0.613 at sf0.001): edge-level
-    # P=R=1.0 with margin on both sides.
-    edge_threshold: float = 0.56
-    tfidf_ngram_lo: int = 3               # char ngram range of the reference
-    tfidf_ngram_hi: int = 5               # TfidfVectorizer (config.py:57-64)
+    # Weights fitted by strict-margin grid search over 137k labeled candidate
+    # pairs (sf0.01 amplified fixture): Levenshtein over the positional
+    # content sketch is the most discriminative signal for near-dup pages
+    # (perturbations preserve positional structure; unrelated same-vocabulary
+    # pages don't), shingle cosine second; JW kept at a small weight (its
+    # match-window makes it weak on long sketches).
+    tfidf_weight: float = 0.30
+    jaro_winkler_weight: float = 0.10
+    levenshtein_weight: float = 0.60
+    # Mid-gap of the measured score distributions on the labeled fixtures
+    # (strict margin 0.21: false-pair max 0.44, true-pair min 0.65 on the
+    # amplified sf0.01 corpus): edge-level P=R=1.0 with margin on both sides.
+    edge_threshold: float = 0.55
+    # Corpus-scorer shingle width. The reference vectorizes names with char
+    # (3,5) n-grams (config.py:57-64) — kept exactly in the canonical-
+    # election formula (operators/canonical.py) — but for the corpus-scale
+    # pair scorer a single width-4 shingle gives the same separation on the
+    # fixture at 1/3 the exploded-token volume (measured 83s -> 26s).
+    tfidf_ngram_lo: int = 4
+    tfidf_ngram_hi: int = 4
     tfidf_min_df: int = 1
-    tfidf_top_k: int = 128                # per-doc vector pruning for pair cosine
+    tfidf_top_k: int = 64                 # per-doc vector pruning for pair cosine
+    # Pairs below this shingle-cosine skip the quadratic JW/Levenshtein
+    # kernels entirely (two-phase scoring; reference's prefilter pattern,
+    # utils.py:602-621). Measured on the fixture: true-pair cosine p1 = 0.53,
+    # false-pair p99 = 0.16 — 0.20 keeps every true pair with margin while
+    # skipping ~98% of candidates.
+    cosine_prefilter: float = 0.20
     # JW/Levenshtein run over a bounded "content sketch" (first+middle+last
     # sketch_chars of the normalized text) rather than a prefix truncation:
     # web corpora contain documents sharing long identical prefixes, which a

@@ -39,7 +39,19 @@ def minhash_signature(text_col: str, cfg: BlockingConfig) -> Column:
     ``zip_with``. A naive 64-column formulation re-evaluated the shingling 64
     times per row and was ~60x slower.
     """
-    hs = f"transform(array_distinct({_shingle_expr(text_col, cfg.shingle_size)}), x -> xxhash64(x, {cfg.seed}))"
+    hs_all = f"transform(array_distinct({_shingle_expr(text_col, cfg.shingle_size)}), x -> xxhash64(x, {cfg.seed}))"
+    # Deterministic shingle subsampling (keep hashes ≡ 0 mod m): an unbiased
+    # MinHash over the subsampled shingle sets at 1/m the permutation cost —
+    # the standard trick for long documents. Short docs (sample would be
+    # empty) fall back to the full set.
+    if cfg.minhash_shingle_mod > 1:
+        hs = (
+            f"CASE WHEN size(filter({hs_all}, h -> pmod(h, {cfg.minhash_shingle_mod}) = 0)) > 0 "
+            f"THEN filter({hs_all}, h -> pmod(h, {cfg.minhash_shingle_mod}) = 0) "
+            f"ELSE {hs_all} END"
+        )
+    else:
+        hs = hs_all
     perms = f"sequence(0, {cfg.num_perm - 1})"
     return F.expr(
         f"aggregate({hs}, "
@@ -90,13 +102,19 @@ def sorted_neighborhood_keys(
     pair join, block sizes being capped by salting)."""
     cfg = cfg or BlockingConfig()
     k = cfg.sorted_neighborhood_prefix
-    key = F.concat(
-        F.lit("sn:"),
-        F.substring(F.regexp_replace(F.col(text_col), r"\s+", ""), 1, k),
+    squeezed = F.regexp_replace(F.col(text_col), r"\s+", "")
+    head = F.concat(F.lit("sn:"), F.substring(squeezed, 1, k))
+    # Tail key catches duplicates whose head diverges (leading word drops /
+    # DBA-style prefix noise) — a second sort order, as classic sorted-
+    # neighborhood uses multiple passes.
+    tail = F.concat(F.lit("st:"), F.substr(squeezed, F.length(squeezed) - k + 1, F.lit(k)))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array(head, tail)).alias("block_key"),
+        )
+        .where(F.length("block_key") > 3)
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), key.alias("block_key")
-    ).where(F.length("block_key") > 3)
 
 
 def host_keys(
@@ -125,6 +143,10 @@ def salt_blocks(
     self-join so the quadratic blow-up never materializes.
     """
     cfg = cfg or BlockingConfig()
+    # Materialization barrier: `blocks` (whose plan contains the MinHash
+    # signatures) is referenced by both the size aggregation and the join —
+    # without it the signature computation runs twice.
+    blocks = blocks.localCheckpoint(eager=False)
     counts = blocks.groupBy("block_key").agg(F.count("*").alias("block_n"))
     # Blocks of size 1 produce no pairs — drop them before the join.
     useful = counts.where(F.col("block_n") >= 2)
@@ -158,7 +180,8 @@ def candidate_pairs(
     that co-occur in several blocks. The shuffle key is block_key (bounded
     cardinality per key after salting); the dedup groupBy shuffles on the
     pair itself."""
-    salted = salt_blocks(blocks, cfg)
+    # Barrier before the self-join: both join sides reference `salted`.
+    salted = salt_blocks(blocks, cfg).localCheckpoint(eager=False)
     a = salted.alias("a")
     b = salted.alias("b")
     return (

@@ -69,12 +69,30 @@ def score_pairs(
         content_sketch(F.col(text_col), seg).alias("t"),
     )
 
-    sketches = texts.select("doc_id", "t")
-    with_texts = (
-        pairs.join(sketches.withColumnsRenamed({"doc_id": "src", "t": "t_a"}), "src")
-        .join(sketches.withColumnsRenamed({"doc_id": "dst", "t": "t_b"}), "dst")
+    # Phase 1 — TF-IDF cosine for ALL candidate pairs (linear, JVM-only).
+    weights = tfidf_weights(
+        texts, id_col="doc_id", text_col="full_t",
+        n_lo=cfg.tfidf_ngram_lo, n_hi=cfg.tfidf_ngram_hi, min_df=cfg.tfidf_min_df,
+    )
+    # Barrier: cos feeds both the survivors branch and the pruned branch.
+    cos = pair_cosine(pairs, weights, top_k=cfg.tfidf_top_k).localCheckpoint(
+        eager=False
     )
 
+    # Phase 2 — JW + Levenshtein only for pairs passing the cosine
+    # prefilter. This is the reference's centroid-prefilter pattern
+    # (utils.py:602-621) applied to edit distances: on web corpora the
+    # overwhelming majority of candidate pairs have near-zero shingle
+    # cosine and cannot be duplicates; skipping their quadratic edit
+    # kernels is the dominant scoring cost lever. Pairs below the
+    # prefilter keep score = tfidf share only (by construction < tau).
+    survivors = cos.where(F.col("tfidf_cos") >= cfg.cosine_prefilter)
+    sketches = texts.select("doc_id", "t")
+    with_texts = (
+        survivors
+        .join(sketches.withColumnsRenamed({"doc_id": "src", "t": "t_a"}), "src")
+        .join(sketches.withColumnsRenamed({"doc_id": "dst", "t": "t_b"}), "dst")
+    )
     max_len = F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1))
     lev = F.least(
         F.levenshtein("t_a", "t_b", 3 * seg), max_len.cast("int")
@@ -83,30 +101,33 @@ def score_pairs(
     scored = with_texts.select(
         "src",
         "dst",
+        "tfidf_cos",
         (1.0 - lev / max_len).alias("lev_ratio"),
         jw_udf("t_a", "t_b").alias("jw"),
     )
 
-    weights = tfidf_weights(
-        texts, id_col="doc_id", text_col="full_t",
-        n_lo=cfg.tfidf_ngram_lo, n_hi=cfg.tfidf_ngram_hi, min_df=cfg.tfidf_min_df,
-    )
-    cos = pair_cosine(pairs, weights, top_k=cfg.tfidf_top_k)
-
     total_w = cfg.tfidf_weight + cfg.jaro_winkler_weight + cfg.levenshtein_weight
-    return (
-        scored.join(cos, ["src", "dst"], "left")
-        .withColumn("tfidf_cos", F.coalesce("tfidf_cos", F.lit(0.0)))
-        .withColumn(
-            "score",
-            (
-                cfg.tfidf_weight * F.col("tfidf_cos")
-                + cfg.jaro_winkler_weight * F.col("jw")
-                + cfg.levenshtein_weight * F.col("lev_ratio")
-            )
-            / F.lit(total_w),
+    full = scored.withColumn(
+        "score",
+        (
+            cfg.tfidf_weight * F.col("tfidf_cos")
+            + cfg.jaro_winkler_weight * F.col("jw")
+            + cfg.levenshtein_weight * F.col("lev_ratio")
+        )
+        / F.lit(total_w),
+    )
+    pruned = (
+        cos.where(F.col("tfidf_cos") < cfg.cosine_prefilter)
+        .select(
+            "src",
+            "dst",
+            "tfidf_cos",
+            F.lit(None).cast("double").alias("lev_ratio"),
+            F.lit(None).cast("double").alias("jw"),
+            (cfg.tfidf_weight * F.col("tfidf_cos") / F.lit(total_w)).alias("score"),
         )
     )
+    return full.unionByName(pruned)
 
 
 def edges_above_threshold(scores: DataFrame, threshold: float) -> DataFrame:

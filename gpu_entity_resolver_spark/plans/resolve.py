@@ -67,12 +67,15 @@ def resolve_documents(
 
     prepared = ckpt.stage("01_normalized", lambda: prepare_documents(docs, cfg))
 
+    # Host keys are deliberately NOT in the default key set: MinHash bands +
+    # sorted-neighborhood already block every textual duplicate (measured
+    # 100% labeled-pair recall), while Zipf-hot hosts contributed ~80% of
+    # candidate pairs with no additional recall. Use
+    # operators.blocking.host_keys for URL-duplicate-specific workloads.
     pairs = ckpt.stage(
         "02_pairs",
         lambda: candidate_pairs(
-            blocking_keys(
-                prepared, "doc_id", "norm_text", url_col="url", cfg=cfg.blocking
-            ),
+            blocking_keys(prepared, "doc_id", "norm_text", cfg=cfg.blocking),
             cfg.blocking,
         ),
     )

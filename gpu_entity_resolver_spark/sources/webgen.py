@@ -15,6 +15,7 @@ requires. Perturbation runs inside ``mapInPandas`` (Arrow batches).
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -134,11 +135,30 @@ def _render_html(text: str, rng: np.random.Generator) -> bytes:
     ).encode("utf-8")
 
 
+def _remap_tokens(text: str, replica: int) -> str:
+    """Deterministic per-replica vocabulary remap: every token t becomes
+    w<hex(mix(hash(t), replica))>. Structure (lengths, repetitions) is
+    preserved; vocabularies of different replicas are disjoint w.h.p., so
+    amplified entities stay below match thresholds of one another while
+    within-replica near-dup structure mirrors the original corpus."""
+    out = []
+    for t in text.split():
+        h = _mix(zlib.crc32(t.encode()), replica)
+        n = 4 + (h >> 8) % 4  # 4-7 letters, like natural tokens
+        chars = []
+        for _ in range(n):
+            chars.append(chr(ord("a") + h % 26))
+            h //= 26
+        out.append("".join(chars))
+    return " ".join(out)
+
+
 def generate_documents(
     spark: SparkSession,
     sf_dir: str,
     seed: int = 42,
     max_entities: int | None = None,
+    amplify: int = 1,
 ) -> DataFrame:
     """Build the full-shape documents table from the driver's base corpus.
 
@@ -152,8 +172,27 @@ def generate_documents(
     if max_entities is not None:
         base = base.where(F.col("entity_id") < max_entities)
     base = _separate_entities(base)
-    n_entities = base.count()
+    n_base = base.count()
+    n_entities = n_base * amplify
     n_hosts = max(10, n_entities // 20)
+
+    # Corpus amplification: `amplify` replicas per base doc, each with a
+    # disjoint deterministic vocabulary (the sf tiers share a small base
+    # corpus; amplification scales entity count without external data).
+    if amplify > 1:
+        base = base.select(
+            "entity_id",
+            "text",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(amplify - 1))).alias("replica"),
+        ).select(
+            (F.col("entity_id") * amplify + F.col("replica")).alias("entity_id"),
+            "text",
+            "lang",
+            F.col("replica").cast("int").alias("replica"),
+        )
+    else:
+        base = base.withColumn("replica", F.lit(0))
 
     # 1-8 variants per entity, deterministic in entity_id.
     exploded = base.withColumn(
@@ -163,6 +202,7 @@ def generate_documents(
         "entity_id",
         "text",
         "lang",
+        "replica",
         F.explode(F.sequence(F.lit(0), F.col("n_variants") - 1)).alias("variant"),
     )
 
@@ -172,13 +212,17 @@ def generate_documents(
                 "doc_id": [], "entity_id": [], "url": [], "warc_ts": [],
                 "html": [], "text": [], "lang": [],
             }
-            for ent, text, lang, variant in zip(
-                pdf["entity_id"], pdf["text"], pdf["lang"], pdf["variant"]
+            for ent, text, lang, replica, variant in zip(
+                pdf["entity_id"], pdf["text"], pdf["lang"],
+                pdf["replica"], pdf["variant"],
             ):
-                ent, variant = int(ent), int(variant)
+                ent, variant, replica = int(ent), int(variant), int(replica)
                 row_seed = _mix(seed, ent, variant)
                 rng = np.random.default_rng(np.random.PCG64(row_seed))
-                ptext = _perturb(str(text), rng, variant)
+                btext = str(text)
+                if replica > 0:
+                    btext = _remap_tokens(btext, replica)
+                ptext = _perturb(btext, rng, variant)
                 # Zipf-skewed host assignment: a few hosts are hot.
                 u = (_mix(seed, ent, 7) % 100_000) / 100_000.0
                 host_id = int(n_hosts * u**3)

@@ -71,8 +71,9 @@ def test_blocking_recall(spark, corpus, truth):
     prep = prepare_documents(corpus.select(*INPUT_COLUMNS), cfg).localCheckpoint(
         eager=True
     )
+    # same key families the pipeline uses (MinHash bands + SN prefix)
     pairs = candidate_pairs(
-        blocking_keys(prep, "doc_id", "norm_text", url_col="url", cfg=cfg.blocking),
+        blocking_keys(prep, "doc_id", "norm_text", cfg=cfg.blocking),
         cfg.blocking,
     )
     t = truth
