@@ -311,6 +311,49 @@ def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only queries (non-SQL-expressible: LSH, scorer, CC, full pipeline)
 # ---------------------------------------------------------------------------
 
+def _members_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic (cluster, norm_text, lang) membership table derived from
+    # orders — same construction mirrored in the DuckDB oracles
+    return _read(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).alias("cluster"),
+        F.concat_ws(
+            "-", F.col("o_orderpriority"), (F.col("o_orderkey") % 7).cast("string")
+        ).alias("norm_text"),
+        F.when(F.col("o_orderkey") % 11 == 0, "de").otherwise("en").alias("lang"),
+    )
+
+
+def _q_consolidate_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C6 consolidate-identical-entities (reference resolver.py:702-782):
+    # keys in >1 cluster move to the largest cluster (tie: smallest id)
+    from gpu_entity_resolver_spark.operators.hygiene import (
+        consolidate_identical_entities,
+    )
+
+    out = consolidate_identical_entities(_members_fixture(spark, sf_dir))
+    return out.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("norm_text").alias("n_keys"),
+    )
+
+
+def _q_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C7 split clusters spanning >1 language (reference resolver.py:850-860)
+    from gpu_entity_resolver_spark.operators.hygiene import split_clusters_by
+
+    out = split_clusters_by(_members_fixture(spark, sf_dir), "lang")
+    return out.groupBy("cluster", "lang").agg(F.count("*").alias("n"))
+
+
+def _q_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P5 phonetic key (JVM soundex path; metaphone UDF covered in tests)
+    from gpu_entity_resolver_spark.functions.phonetic import soundex_key
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", soundex_key(F.col("text"), 5).alias("phonetic_key")
+    )
+
+
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # G4 large-star/small-star CC on a deterministic graph derived from
     # orders (verified against a union-find oracle in tests/)
@@ -367,6 +410,35 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal plumbing: binary payload -> typed metadata + phash
+    # (decode stubbed behind the deterministic FAKEIMG codec; see
+    # functions/multimodal.py)
+    from gpu_entity_resolver_spark.functions.multimodal import (
+        generate_fake_images,
+        image_features,
+    )
+
+    return image_features(generate_fake_images(spark, n=200))
+
+
+def _q_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C13 transform path: assign new docs against an existing canonical map
+    from gpu_entity_resolver_spark.operators.hygiene import assign_new_documents
+
+    d = _read(spark, sf_dir, "documents")
+    canon = d.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("cluster"), F.col("text").alias("canonical_text")
+    )
+    new = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("text").alias("norm_text")
+    )
+    return assign_new_documents(spark, new, canon).select(
+        "doc_id", "cluster", F.round("match_score", 6).alias("match_score"),
+        "is_new_entity",
+    )
+
+
 def _q_resolve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full blocking→scoring→CC→canonical pipeline on the synthetic web corpus
     from gpu_entity_resolver_spark.plans.resolve import resolve_documents
@@ -403,12 +475,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "knn_bruteforce": _q_knn_bruteforce,
         # rows-only (no oracle_sql entry):
+        "consolidate_identical": _q_consolidate_identical,
+        "split_clusters": _q_split_clusters,
+        # rows-only: DuckDB has no soundex
+        "phonetic_soundex": _q_phonetic_soundex,
         "connected_components": _q_connected_components,
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf": _q_knn_ivf,
+        "image_features": _q_image_features,
+        "assign_new": _q_assign_new,
         "resolve_pipeline": _q_resolve_pipeline,
     }
 
@@ -517,6 +595,39 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, "
             "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90 "
             "FROM lineitem GROUP BY l_linestatus"
+        ),
+        "consolidate_identical": (
+            "WITH members AS (SELECT o_custkey % 100 AS cluster, "
+            "concat_ws('-', o_orderpriority, CAST(o_orderkey % 7 AS VARCHAR)) "
+            "AS norm_text FROM orders), "
+            "sizes AS (SELECT cluster, count(*) AS csize FROM members GROUP BY cluster), "
+            "winner AS (SELECT norm_text, cluster AS w FROM ("
+            "SELECT m.norm_text, m.cluster, row_number() OVER ("
+            "PARTITION BY m.norm_text ORDER BY s.csize DESC, m.cluster ASC) AS rn "
+            "FROM (SELECT DISTINCT norm_text, cluster FROM members) m "
+            "JOIN sizes s USING (cluster)) WHERE rn = 1), "
+            "remapped AS (SELECT coalesce(w.w, m.cluster) AS cluster, m.norm_text "
+            "FROM members m LEFT JOIN winner w USING (norm_text)) "
+            "SELECT cluster, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT norm_text) AS BIGINT) AS n_keys "
+            "FROM remapped GROUP BY cluster"
+        ),
+        "split_clusters": (
+            "WITH members AS (SELECT o_custkey % 100 AS cluster, "
+            "concat_ws('-', o_orderpriority, CAST(o_orderkey % 7 AS VARCHAR)) "
+            "AS norm_text, CASE WHEN o_orderkey % 11 = 0 THEN 'de' ELSE 'en' END "
+            "AS lang FROM orders), "
+            "multi AS (SELECT cluster FROM (SELECT cluster, "
+            "count(DISTINCT lang) AS nv FROM members GROUP BY cluster) WHERE nv > 1), "
+            "newids AS (SELECT cluster, lang, dense_rank() OVER (ORDER BY cluster, lang) "
+            "+ (SELECT max(cluster) FROM members) AS newc FROM ("
+            "SELECT DISTINCT cluster, lang FROM members "
+            "WHERE cluster IN (SELECT cluster FROM multi))), "
+            "remapped AS (SELECT coalesce(n.newc, m.cluster) AS cluster, m.lang "
+            "FROM members m LEFT JOIN newids n "
+            "ON m.cluster = n.cluster AND m.lang = n.lang) "
+            "SELECT cluster, lang, CAST(count(*) AS BIGINT) AS n "
+            "FROM remapped GROUP BY cluster, lang"
         ),
         "knn_bruteforce": (
             "SELECT query_id, neighbor_id, rk AS rank FROM ("

@@ -114,6 +114,12 @@ class ClusteringConfig:
 
     cc_max_iterations: int = 50
     min_cluster_size: int = 1             # reference HDBSCAN uses 3; CC keeps all
+    # hygiene stages (reference stage order, resolver.py:1599-1620)
+    consolidate_identical: bool = True    # C6
+    split_by_lang: bool = True            # C7 (state-split analog)
+    merge_similar: bool = False           # C5 — off by default: an extra
+    # blocking+scoring pass over cluster representatives; enable for
+    # recall-critical workloads
     name_match_threshold: float = 0.89    # config.py:202 validation
     merge_median_threshold: float = 0.84  # config.py:153-156 SNN merge
     merge_max_threshold: float = 0.90

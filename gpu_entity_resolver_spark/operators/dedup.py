@@ -64,7 +64,11 @@ def minhash_dedup(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("nt"),
     )
     pairs = candidate_pairs(lsh_block_keys(norm, "doc_id", "nt", cfg), cfg)
-    cos = pair_cosine(pairs, tfidf_weights(norm, "doc_id", "nt"))
+    # single-width shingles + pruned vectors: same separation at a third of
+    # the exploded-token volume (see ScoringConfig.tfidf_ngram_lo)
+    cos = pair_cosine(
+        pairs, tfidf_weights(norm, "doc_id", "nt", n_lo=4, n_hi=4), top_k=64
+    )
     edges = cos.where(F.col("tfidf_cos") >= cosine_threshold)
     labels = connected_components(edges)
     sizes = labels.groupBy("component").agg(F.count("*").alias("group_size"))

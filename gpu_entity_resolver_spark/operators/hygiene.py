@@ -1,0 +1,287 @@
+"""Cluster-hygiene operators (SURVEY.md §2.9) — the relational stages the
+reference runs between clustering and canonical-map building, re-expressed
+as joins/windows/aggregations:
+
+- C6 ``consolidate_identical_entities`` (reference resolver.py:702-782)
+- C7 ``split_clusters_by``             (reference resolver.py:784-899)
+- C5 ``merge_similar_clusters``        (reference resolver.py:542-700)
+- C12 invariant checks                 (reference resolver.py:2680-2796)
+- S5 ``generate_report``               (reference resolver.py:1289-1385)
+- S6 ``review_dataframe``              (reference resolver.py:1233-1287)
+- C13 ``assign_new_documents``         (reference resolver.py:1020-1042,
+                                        2280-2332 — the transform path)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import ResolverConfig
+
+
+def consolidate_identical_entities(
+    members: DataFrame,
+    key_col: str = "norm_text",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """C6: if the same entity key appears in more than one cluster, move all
+    its rows to the largest cluster (ties: smallest cluster id) — reference
+    resolver.py:702-782 semantics, one window pass instead of a Python loop.
+
+    Returns the input with ``cluster`` re-mapped.
+    """
+    sizes = members.groupBy(cluster_col).agg(F.count("*").alias("_csize"))
+    key_winner = (
+        members.join(sizes, cluster_col)
+        .groupBy(key_col, cluster_col)
+        .agg(F.first("_csize").alias("_csize"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy(
+                    F.desc("_csize"), F.asc(cluster_col)
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select(key_col, F.col(cluster_col).alias("_winner"))
+    )
+    return (
+        members.join(key_winner, key_col, "left")
+        .withColumn(cluster_col, F.coalesce("_winner", F.col(cluster_col)))
+        .drop("_winner")
+    )
+
+
+def split_clusters_by(
+    members: DataFrame,
+    split_col: str,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """C7: split clusters spanning more than one value of ``split_col``
+    (the reference splits on state, resolver.py:850-860; for web pages the
+    analog is language). New ids are minted deterministically above the
+    current max (reference W3 ngroup pattern, resolver.py:857-859)."""
+    multi = (
+        members.groupBy(cluster_col)
+        .agg(F.countDistinct(split_col).alias("_nv"))
+        .where(F.col("_nv") > 1)
+        .select(cluster_col)
+    )
+    max_id = members.agg(F.max(cluster_col)).first()[0] or 0
+    new_ids = (
+        members.join(multi, cluster_col, "left_semi")
+        .select(cluster_col, split_col)
+        .distinct()
+        .withColumn(
+            "_new",
+            F.dense_rank().over(Window.orderBy(cluster_col, split_col))
+            + F.lit(max_id),
+        )
+    )
+    return (
+        members.join(new_ids, [cluster_col, split_col], "left")
+        .withColumn(cluster_col, F.coalesce("_new", F.col(cluster_col)))
+        .drop("_new")
+    )
+
+
+def merge_similar_clusters(
+    members: DataFrame,
+    canon: DataFrame,
+    cfg: ResolverConfig | None = None,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """C5: merge over-split clusters whose canonical representatives are
+    near-identical (reference resolver.py:542-700, thresholds
+    config.py:150-169). Candidate canonical pairs come from the same
+    blocking machinery; merged components relabel to the smallest member id
+    via connected components (replaces the reference's union-find loop,
+    utils.py:570-579)."""
+    from .blocking import blocking_keys, candidate_pairs
+    from .connected_components import connected_components
+    from .scoring import score_pairs
+
+    cfg = cfg or ResolverConfig()
+    reps = canon.select(
+        F.col(cluster_col).alias("doc_id"),
+        F.col("canonical_text").alias("norm_text"),
+    ).localCheckpoint(eager=False)
+    pairs = candidate_pairs(
+        blocking_keys(reps, "doc_id", "norm_text", cfg=cfg.blocking), cfg.blocking
+    )
+    scored = score_pairs(pairs, reps, "doc_id", "norm_text", cfg.scoring)
+    merge_edges = scored.where(
+        F.col("score") >= cfg.clustering.merge_max_threshold
+    ).select("src", "dst")
+    if merge_edges.isEmpty():
+        return members
+    remap = connected_components(merge_edges).withColumnsRenamed(
+        {"vertex": cluster_col, "component": "_merged"}
+    )
+    return (
+        members.join(remap, cluster_col, "left")
+        .withColumn(cluster_col, F.coalesce("_merged", F.col(cluster_col)))
+        .drop("_merged")
+    )
+
+
+# --- invariants (C12) -------------------------------------------------------
+
+def check_no_key_in_two_clusters(
+    members: DataFrame, key_col: str = "norm_text", cluster_col: str = "cluster"
+) -> int:
+    """Reference resolver.py:2702-2725: returns the number of entity keys
+    found in more than one cluster (0 = invariant holds)."""
+    return (
+        members.groupBy(key_col)
+        .agg(F.countDistinct(cluster_col).alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+
+
+def check_unique_canonical_names(canon: DataFrame) -> int:
+    """Reference resolver.py:1007-1015: canonical names must be unique
+    across clusters (before chain numbering makes them so)."""
+    return (
+        canon.groupBy("canonical_text")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+
+
+# --- report / review export (S5, S6) ---------------------------------------
+
+def generate_report(resolved: DataFrame) -> dict:
+    """S5: summary statistics dict (reference resolver.py:1289-1385)."""
+    row = resolved.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.sum(F.when(F.col("cluster_size") == 1, 1).otherwise(0)).alias(
+            "n_singletons"
+        ),
+        F.round(F.avg("confidence_score"), 4).alias("avg_confidence"),
+        F.sum(F.col("needs_review").cast("int")).alias("n_needs_review"),
+        F.max("cluster_size").alias("max_cluster_size"),
+    ).first()
+    cat = {
+        r["confidence_category"]: r["n"]
+        for r in resolved.groupBy("confidence_category")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    reasons = {
+        r["reason"]: r["n"]
+        for r in resolved.where(F.col("review_reason") != "")
+        .select(F.explode(F.split("review_reason", ",")).alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return {
+        "n_docs": row["n_docs"],
+        "n_clusters": row["n_clusters"],
+        "n_singletons": row["n_singletons"],
+        "avg_confidence": row["avg_confidence"],
+        "n_needs_review": row["n_needs_review"],
+        "max_cluster_size": row["max_cluster_size"],
+        "confidence_categories": cat,
+        "review_reasons": reasons,
+    }
+
+
+def review_dataframe(resolved: DataFrame) -> DataFrame:
+    """S6: dedup + sorted review mapping table (reference
+    resolver.py:1233-1287)."""
+    return (
+        resolved.where(F.col("needs_review"))
+        .select(
+            "norm_text",
+            "canonical_text",
+            "cluster",
+            "confidence_score",
+            "review_reason",
+        )
+        .dropDuplicates(["norm_text", "canonical_text"])
+        .orderBy("canonical_text", "norm_text")
+    )
+
+
+# --- transform path (C13) ---------------------------------------------------
+
+def assign_new_documents(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    canon: DataFrame,
+    cfg: ResolverConfig | None = None,
+) -> DataFrame:
+    """C13: assign new documents to existing clusters by blocking + scoring
+    against the canonical representatives; unmatched docs become new
+    entities (reference transform path, resolver.py:1633-1639).
+
+    ``new_docs``: (doc_id, norm_text); ``canon``: (cluster, canonical_text).
+    Returns (doc_id, cluster, match_score, is_new_entity).
+    """
+    from .blocking import blocking_keys, candidate_pairs
+    from .scoring import score_pairs
+
+    cfg = cfg or ResolverConfig()
+    reps = canon.select(
+        F.col("cluster").alias("doc_id"), F.col("canonical_text").alias("norm_text")
+    )
+    # Union both sides under one id space; canonical reps keep their cluster
+    # ids, new docs must not collide (xxhash64 doc ids vs cluster ids = min
+    # member xxhash64 — collision-free by construction).
+    combined = new_docs.select("doc_id", "norm_text").unionByName(reps)
+    pairs = candidate_pairs(
+        blocking_keys(combined, "doc_id", "norm_text", cfg=cfg.blocking),
+        cfg.blocking,
+    )
+    new_ids = new_docs.select(F.col("doc_id").alias("_nid"))
+    rep_ids = reps.select(F.col("doc_id").alias("_rid"))
+    # keep only (new x rep) pairs, in either orientation
+    nr = (
+        pairs.join(new_ids, pairs.src == new_ids._nid, "left_semi")
+        .join(rep_ids, pairs.dst == rep_ids._rid, "left_semi")
+        .select(F.col("src").alias("new_id"), F.col("dst").alias("rep_id"))
+        .unionByName(
+            pairs.join(rep_ids, pairs.src == rep_ids._rid, "left_semi")
+            .join(new_ids, pairs.dst == new_ids._nid, "left_semi")
+            .select(F.col("dst").alias("new_id"), F.col("src").alias("rep_id"))
+        )
+        .distinct()
+    )
+    scored = score_pairs(
+        nr.select(F.col("new_id").alias("src"), F.col("rep_id").alias("dst")),
+        combined,
+        "doc_id",
+        "norm_text",
+        cfg.scoring,
+    )
+    best = (
+        scored.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+            ),
+        )
+        .where((F.col("_rn") == 1) & (F.col("score") >= cfg.scoring.edge_threshold))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("dst").alias("cluster"),
+            F.col("score").alias("match_score"),
+        )
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", "doc_id").alias("cluster"),
+            F.coalesce("match_score", F.lit(0.0)).alias("match_score"),
+            F.col("match_score").isNull().alias("is_new_entity"),
+        )
+    )

@@ -100,6 +100,25 @@ def resolve_documents(
 
     clustered = ckpt.stage("04_clusters", build_clusters)
 
+    def build_hygiene() -> DataFrame:
+        from ..operators.hygiene import (
+            consolidate_identical_entities,
+            merge_similar_clusters,
+            split_clusters_by,
+        )
+
+        out = clustered
+        if cfg.clustering.merge_similar:
+            canon0 = canonical_map(out, "cluster", "norm_text")
+            out = merge_similar_clusters(out, canon0, cfg)
+        if cfg.clustering.consolidate_identical:
+            out = consolidate_identical_entities(out, "norm_text", "cluster")
+        if cfg.clustering.split_by_lang:
+            out = split_clusters_by(out, "lang", "cluster")
+        return out
+
+    clustered = ckpt.stage("04b_hygiene", build_hygiene)
+
     def build_resolved() -> DataFrame:
         canon = canonical_map(clustered, "cluster", "norm_text")
         # cluster_probability analog: mean incident edge score per doc
