@@ -20,5 +20,19 @@ package re-expresses the same semantics Spark-first:
 
 from .config import ResolverConfig
 
-__all__ = ["ResolverConfig"]
+
+def __getattr__(name):
+    # lazy imports so the package imports without an active SparkSession
+    if name == "EntityResolver":
+        from .plans.entities import EntityResolver
+
+        return EntityResolver
+    if name == "resolve_documents":
+        from .plans.resolve import resolve_documents
+
+        return resolve_documents
+    raise AttributeError(name)
+
+
+__all__ = ["ResolverConfig", "EntityResolver", "resolve_documents"]
 __version__ = "0.1.0"

@@ -1,0 +1,367 @@
+"""Reference-shaped public API: ``EntityResolver`` over (company_name,
+address) tables — the reference's actual domain (reference README.md:47-80,
+resolver.py:38). A user of ``andrewjordan3/gpu-entity-resolver`` can switch
+to this class and run the same ``fit_transform`` / ``fit`` / ``transform`` /
+``save_model`` / ``load_model`` / ``generate_report`` /
+``get_review_dataframe`` calls.
+
+Differences by design (Spark-first, per SURVEY.md):
+- clustering is blocking -> pairwise scoring -> connected components instead
+  of UMAP/HDBSCAN/SNN (north rule), with the reference's validation
+  semantics kept where they are relational: state compatibility (C4,
+  resolver.py:2653-2678) gates every edge;
+- "fitted state" is a canonical-map table + config, not pickled models
+  (SURVEY.md §3.3): save/load round-trips through parquet + JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import ResolverConfig, ScoringConfig
+from ..functions.address import parsed_address
+from ..functions.normalize import (
+    address_key,
+    address_score,
+    confidence_bin,
+    normalize_entity_text,
+)
+from ..operators.blocking import blocking_keys, candidate_pairs
+from ..operators.canonical import canonical_map
+from ..operators.connected_components import connected_components
+from ..operators.scoring import make_jw_udf, score_pairs
+
+
+def _entity_scoring_config(cfg: ResolverConfig) -> ScoringConfig:
+    """Entity names are short strings: reference-faithful char (3,5) grams
+    (config.py:57-64) and name-weighted fuzzy signals."""
+    return dataclasses.replace(
+        cfg.scoring,
+        tfidf_ngram_lo=3,
+        tfidf_ngram_hi=5,
+        tfidf_weight=0.40,
+        jaro_winkler_weight=0.35,
+        levenshtein_weight=0.25,
+        cosine_prefilter=0.15,
+    )
+
+
+class EntityResolver:
+    """Drop-in analog of the reference ``EntityResolver`` (resolver.py:38)."""
+
+    def __init__(
+        self,
+        config: ResolverConfig | None = None,
+        spark: SparkSession | None = None,
+        # name+address pairs merge at a lower bar than web documents: the
+        # reference accepts e.g. "Midwest Waste Services"/"Midwest Waste"
+        # (README.md:74-80), which scores ~0.68 under this scorer; precision
+        # comes from blocking + the C4 state gate.
+        entity_threshold: float = 0.65,
+    ):
+        self.config = config or ResolverConfig()
+        self._spark = spark
+        self.entity_threshold = entity_threshold
+        self.canonical_map_: DataFrame | None = None
+        self.resolved_: DataFrame | None = None
+        self._is_fitted = False
+
+    # -- session ------------------------------------------------------------
+    def _session(self) -> SparkSession:
+        if self._spark is None:
+            from ..session import get_spark
+
+            self._spark = get_spark()
+        return self._spark
+
+    # -- public API (reference README.md:68-72) ------------------------------
+    def fit_transform(self, df, entity_col: str = "company_name",
+                      address_col: str = "address"):
+        """Resolve a table; returns same type as input (pandas or Spark)."""
+        was_pandas = isinstance(df, pd.DataFrame)
+        spark = self._session()
+        sdf = spark.createDataFrame(df) if was_pandas else df
+        resolved = self._resolve(sdf, entity_col, address_col)
+        self.resolved_ = resolved.localCheckpoint(eager=True)
+        self.canonical_map_ = (
+            self.resolved_.select(
+                "final_cluster",
+                F.col("canonical_name"),
+                F.col("canonical_address"),
+            ).dropDuplicates(["final_cluster"])
+        ).localCheckpoint(eager=True)
+        self._is_fitted = True
+        out = self.resolved_
+        return out.toPandas() if was_pandas else out
+
+    def fit(self, df, **kw):
+        self.fit_transform(df, **kw)
+        return self
+
+    def transform(self, df, entity_col: str = "company_name",
+                  address_col: str = "address"):
+        """Assign NEW records against the fitted canonical map (C13)."""
+        assert self._is_fitted, "call fit/fit_transform or load_model first"
+        from ..operators.hygiene import assign_new_documents
+
+        was_pandas = isinstance(df, pd.DataFrame)
+        spark = self._session()
+        sdf = spark.createDataFrame(df) if was_pandas else df
+        prep = self._prepare(sdf, entity_col, address_col)
+        new = prep.select(
+            F.xxhash64("normalized_text", "addr_normalized_key").alias("doc_id"),
+            F.concat_ws(" ", "normalized_text", "addr_normalized_key").alias(
+                "norm_text"
+            ),
+        ).dropDuplicates(["doc_id"])
+        canon = self.canonical_map_.select(
+            F.col("final_cluster").alias("cluster"),
+            F.concat_ws(
+                " ",
+                F.lower("canonical_name"),
+                F.lower(F.coalesce("canonical_address", F.lit(""))),
+            ).alias("canonical_text"),
+        )
+        cfg = dataclasses.replace(self.config, scoring=_entity_scoring_config(self.config))
+        assigned = assign_new_documents(spark, new, canon, cfg)
+        out = (
+            prep.withColumn(
+                "doc_id",
+                F.xxhash64("normalized_text", "addr_normalized_key"),
+            )
+            .join(assigned, "doc_id", "left")
+            .join(
+                self.canonical_map_.withColumnsRenamed(
+                    {"final_cluster": "cluster"}
+                ),
+                "cluster",
+                "left",
+            )
+            .withColumn(
+                "canonical_name",
+                F.coalesce("canonical_name", F.initcap("normalized_text")),
+            )
+            .withColumn("is_new_entity", F.coalesce("is_new_entity", F.lit(True)))
+            .drop("doc_id")
+        )
+        return out.toPandas() if was_pandas else out
+
+    def save_model(self, path: str) -> None:
+        """Persist fitted state as tables + JSON (no pickles; SURVEY.md S3)."""
+        assert self._is_fitted
+        os.makedirs(path, exist_ok=True)
+        self.canonical_map_.write.mode("overwrite").parquet(
+            os.path.join(path, "canonical_map")
+        )
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(
+                {
+                    "entity_threshold": self.entity_threshold,
+                    "edge_threshold": self.config.scoring.edge_threshold,
+                },
+                f,
+            )
+
+    def load_model(self, path: str) -> "EntityResolver":
+        spark = self._session()
+        self.canonical_map_ = spark.read.parquet(
+            os.path.join(path, "canonical_map")
+        )
+        with open(os.path.join(path, "config.json")) as f:
+            meta = json.load(f)
+        self.entity_threshold = meta["entity_threshold"]
+        self._is_fitted = True
+        return self
+
+    def generate_report(self) -> dict:
+        assert self.resolved_ is not None
+        from ..operators.hygiene import generate_report
+
+        renamed = self.resolved_.withColumnsRenamed(
+            {"final_cluster": "cluster", "canonical_name": "canonical_text"}
+        ).withColumn("norm_text", F.col("normalized_text"))
+        return generate_report(renamed)
+
+    def get_review_dataframe(self) -> DataFrame:
+        assert self.resolved_ is not None
+        from ..operators.hygiene import review_dataframe
+
+        return review_dataframe(
+            self.resolved_.withColumnsRenamed(
+                {
+                    "final_cluster": "cluster",
+                    "canonical_name": "canonical_text",
+                    "normalized_text": "norm_text",
+                }
+            )
+        )
+
+    # -- internals ------------------------------------------------------------
+    def _prepare(self, sdf: DataFrame, entity_col: str, address_col: str) -> DataFrame:
+        cfg = self.config
+        out = sdf.withColumn(
+            "normalized_text",
+            normalize_entity_text(
+                F.col(entity_col), cfg.replacements, cfg.suffixes_to_remove
+            ),
+        )
+        if address_col in sdf.columns:
+            parsed = parsed_address(F.col(address_col))
+            out = (
+                out.withColumn("_addr", parsed)
+                .withColumn("addr_street_number", F.col("_addr.street_number"))
+                .withColumn("addr_street_name", F.col("_addr.street_name"))
+                .withColumn("addr_city", F.col("_addr.city"))
+                .withColumn("addr_state", F.col("_addr.state"))
+                .withColumn("addr_zip", F.col("_addr.zip"))
+                .drop("_addr")
+            )
+        else:
+            for c in ("addr_street_number", "addr_street_name", "addr_city",
+                      "addr_state", "addr_zip"):
+                out = out.withColumn(c, F.lit(""))
+        return out.withColumn(
+            "addr_normalized_key",
+            address_key(
+                F.col("addr_street_number"),
+                F.col("addr_street_name"),
+                F.col("addr_city"),
+                F.col("addr_state"),
+                F.col("addr_zip"),
+            ),
+        ).withColumn(
+            "addr_score",
+            address_score(
+                F.col("addr_street_number"),
+                F.col("addr_street_name"),
+                F.col("addr_city"),
+                F.col("addr_state"),
+                F.col("addr_zip"),
+            ),
+        )
+
+    def _resolve(self, sdf: DataFrame, entity_col: str, address_col: str) -> DataFrame:
+        spark = self._session()
+        cfg = self.config
+        prep = self._prepare(sdf, entity_col, address_col).localCheckpoint(
+            eager=False
+        )
+        # one row per distinct (name, addr) for scoring; rows map back after
+        ent = (
+            prep.select(
+                F.concat_ws(" ", "normalized_text", "addr_normalized_key").alias(
+                    "norm_text"
+                ),
+                "normalized_text",
+                "addr_state",
+            )
+            .withColumn("doc_id", F.xxhash64("norm_text"))
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint(eager=False)
+        )
+        scfg = _entity_scoring_config(cfg)
+        pairs = candidate_pairs(
+            blocking_keys(ent, "doc_id", "norm_text", cfg=cfg.blocking),
+            cfg.blocking,
+        )
+        scored = score_pairs(pairs, ent, "doc_id", "norm_text", scfg)
+        # C4 state-compatibility gate (reference resolver.py:2653-2678):
+        # different non-null states never merge.
+        st = ent.select("doc_id", "addr_state")
+        scored = (
+            scored.join(st.withColumnsRenamed({"doc_id": "src", "addr_state": "st_a"}), "src")
+            .join(st.withColumnsRenamed({"doc_id": "dst", "addr_state": "st_b"}), "dst")
+            .where(
+                (F.col("st_a") == "") | (F.col("st_b") == "")
+                | (F.col("st_a") == F.col("st_b"))
+            )
+        )
+        edges = scored.where(F.col("score") >= self.entity_threshold).select(
+            "src", "dst", "score"
+        )
+        labels = connected_components(edges)
+        members = (
+            ent.join(
+                labels.withColumnsRenamed({"vertex": "doc_id", "component": "final_cluster"}),
+                "doc_id",
+                "left",
+            )
+            .withColumn("final_cluster", F.coalesce("final_cluster", "doc_id"))
+            .localCheckpoint(eager=False)
+        )
+        # canonical name per cluster: V11 election over normalized names
+        canon_names = canonical_map(
+            members.select("final_cluster", F.col("normalized_text").alias("nt")),
+            "final_cluster",
+            "nt",
+        ).withColumnsRenamed({"cluster": "final_cluster", "canonical_text": "_canon_norm"})
+        rows = prep.withColumn(
+            "doc_id",
+            F.xxhash64(
+                F.concat_ws(" ", "normalized_text", "addr_normalized_key")
+            ),
+        ).join(members.select("doc_id", "final_cluster"), "doc_id")
+        # V12 best address per cluster: completeness desc, freq desc, key asc
+        freq = rows.groupBy("final_cluster", "addr_normalized_key").agg(
+            F.count("*").alias("_freq"), F.first("addr_score").alias("_ascore")
+        )
+        best_addr = (
+            freq.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("final_cluster").orderBy(
+                        F.desc("_ascore"), F.desc("_freq"), F.asc("addr_normalized_key")
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .select(
+                "final_cluster",
+                F.col("addr_normalized_key").alias("canonical_address"),
+            )
+        )
+        jw = make_jw_udf(64)
+        out = (
+            rows.join(canon_names, "final_cluster")
+            .join(best_addr, "final_cluster", "left")
+            .withColumn("canonical_name", F.initcap(F.col("_canon_norm")))
+            .withColumn(
+                "name_similarity", jw("normalized_text", F.col("_canon_norm"))
+            )
+            .drop("_canon_norm")
+        )
+        c = cfg.confidence
+        size_factor = F.least(
+            F.log(F.col("cluster_size").cast("double") + 1.0) / F.lit(3.5),
+            F.lit(1.0),
+        )
+        conf = (
+            (c.name_similarity_weight + c.cohesion_weight) * F.col("name_similarity")
+            + c.cluster_size_weight * size_factor
+            + (c.avg_cluster_prob_weight + c.address_confidence_weight)
+            * F.lit(0.9)
+        )
+        out = (
+            out.withColumn(
+                "confidence_score",
+                F.when(F.col("cluster_size") == 1, 0.5 * F.col("name_similarity") + 0.5)
+                .otherwise(F.least(conf, F.lit(1.0))),
+            )
+            .withColumn("confidence_category", confidence_bin(F.col("confidence_score")))
+            .withColumn(
+                "needs_review",
+                F.col("confidence_score") < c.review_confidence_threshold,
+            )
+            .withColumn(
+                "review_reason",
+                F.when(F.col("needs_review"), "low_confidence").otherwise(""),
+            )
+            .drop("doc_id")
+        )
+        return out

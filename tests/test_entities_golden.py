@@ -1,0 +1,106 @@
+"""Golden end-to-end test: the reference README usage example
+(reference README.md:47-80) must produce the reference's expected
+clustering — {Crystal Clean LLC, Crystal Clean, Crystal-Clean Inc.} and
+{Midwest Waste Services, Midwest Waste} co-cluster, with canonical names
+and confidence columns. Plus fit/transform and save/load round-trips."""
+
+import tempfile
+
+import pandas as pd
+import pytest
+
+README_DATA = {
+    "company_name": [
+        "Crystal Clean LLC", "Crystal Clean", "Crystal-Clean Inc.",
+        "Midwest Waste Services", "Midwest Waste",
+    ],
+    "address": [
+        "123 Main St, Rockford IL", "123 Main Street, Rockford, IL",
+        "123 Main St, Rockford",
+        "456 Oak Ave, Hoffman Estates", "456 Oak Avenue, Hoffman Estates IL",
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def resolver(spark):
+    from gpu_entity_resolver_spark.plans.entities import EntityResolver
+
+    return EntityResolver(spark=spark)
+
+
+@pytest.fixture(scope="module")
+def resolved(resolver):
+    return resolver.fit_transform(pd.DataFrame(README_DATA))
+
+
+def test_readme_example_clusters(resolved):
+    by_name = resolved.set_index("company_name")
+    crystal = {
+        by_name.loc[n, "final_cluster"]
+        for n in ["Crystal Clean LLC", "Crystal Clean", "Crystal-Clean Inc."]
+    }
+    midwest = {
+        by_name.loc[n, "final_cluster"]
+        for n in ["Midwest Waste Services", "Midwest Waste"]
+    }
+    assert len(crystal) == 1, f"crystal group split: {crystal}"
+    assert len(midwest) == 1, f"midwest group split: {midwest}"
+    assert crystal != midwest
+
+
+def test_readme_canonical_names(resolved):
+    by_name = resolved.set_index("company_name")
+    assert by_name.loc["Crystal Clean LLC", "canonical_name"] == "Crystal Clean"
+    assert by_name.loc["Midwest Waste", "canonical_name"] in (
+        "Midwest Waste Services", "Midwest Waste",
+    )
+    assert ((resolved["confidence_score"] >= 0) & (resolved["confidence_score"] <= 1)).all()
+    assert set(resolved["confidence_category"]).issubset(
+        {"Low", "Medium", "High", "VeryHigh"}
+    )
+
+
+def test_state_gate_blocks_cross_state(resolver):
+    df = pd.DataFrame(
+        {
+            "company_name": ["Acme Trucking", "Acme Trucking"],
+            "address": ["1 Elm St, Springfield IL", "1 Elm St, Springfield TX"],
+        }
+    )
+    out = resolver.__class__(spark=resolver._session()).fit_transform(df)
+    assert out["final_cluster"].nunique() == 2  # C4: states differ -> no merge
+
+
+def test_transform_and_save_load(resolver, resolved, spark):
+    new = pd.DataFrame(
+        {
+            "company_name": ["Crystal Clean Incorporated", "Totally New Co"],
+            "address": ["123 Main St, Rockford IL", "9 Nowhere Ln, Peoria IL"],
+        }
+    )
+    out = resolver.transform(new)
+    by_name = out.set_index("company_name")
+    assert by_name.loc["Crystal Clean Incorporated", "canonical_name"] == "Crystal Clean"
+    assert not by_name.loc["Crystal Clean Incorporated", "is_new_entity"]
+    assert by_name.loc["Totally New Co", "is_new_entity"]
+
+    with tempfile.TemporaryDirectory(prefix="model_") as d:
+        resolver.save_model(d)
+        from gpu_entity_resolver_spark.plans.entities import EntityResolver
+
+        r2 = EntityResolver(spark=spark).load_model(d)
+        out2 = r2.transform(new)
+        assert (
+            out2.set_index("company_name").loc[
+                "Crystal Clean Incorporated", "canonical_name"
+            ]
+            == "Crystal Clean"
+        )
+
+
+def test_report_and_review(resolver, resolved):
+    rep = resolver.generate_report()
+    assert rep["n_docs"] == 5 and rep["n_clusters"] == 2
+    rev = resolver.get_review_dataframe()
+    assert rev.count() >= 0
