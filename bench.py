@@ -57,8 +57,11 @@ def main() -> None:
     docs_per_sec = round(n_docs / timings["resolve_pipeline"], 1)
 
     # Operator benchmarks (each timed to first materialization).
+    # SPARK_GRAFT_RESOLVE_ONLY=1 limits the run to the flagship pipeline —
+    # used for the N-vs-4N scaling measurements where only the pipeline's
+    # docs/sec matters.
     queries = entry_mod.queries()
-    for name in [
+    op_names = [] if os.environ.get("SPARK_GRAFT_RESOLVE_ONLY") else [
         "minhash_dedup",
         "exact_dedup",
         "agg_stats",
@@ -67,7 +70,8 @@ def main() -> None:
         "knn_bruteforce",
         "simhash",
         "connected_components",
-    ]:
+    ]
+    for name in op_names:
         t0 = time.time()
         queries[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)

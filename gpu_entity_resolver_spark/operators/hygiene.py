@@ -127,6 +127,79 @@ def merge_similar_clusters(
     )
 
 
+def split_by_street_number_range(
+    members: DataFrame,
+    cluster_col: str = "final_cluster",
+    number_col: str = "addr_street_number",
+    street_col: str = "addr_street_name",
+    zip_col: str = "addr_zip",
+    max_range: int = 50,
+) -> DataFrame:
+    """C7 street-number-range split (reference resolver.py:862-888): a
+    (cluster, street, zip) group whose numeric street-number span exceeds
+    ``max_range`` (with >1 distinct number) cannot be one site; each distinct
+    number is minted into its own cluster (W3 ngroup pattern)."""
+    num = F.when(
+        F.col(number_col).rlike(r"^[0-9]+$"), F.col(number_col).cast("long")
+    )
+    grp = (
+        members.withColumn("_num", num)
+        .groupBy(cluster_col, street_col, zip_col)
+        .agg(
+            (F.max("_num") - F.min("_num")).alias("_span"),
+            F.countDistinct("_num").alias("_nnum"),
+        )
+        .where((F.col("_span") > max_range) & (F.col("_nnum") > 1))
+        .select(cluster_col, street_col, zip_col)
+    )
+    max_id = members.agg(F.max(cluster_col)).first()[0] or 0
+    new_ids = (
+        members.join(grp, [cluster_col, street_col, zip_col], "left_semi")
+        .select(cluster_col, street_col, zip_col, number_col)
+        .distinct()
+        .withColumn(
+            "_new",
+            F.dense_rank().over(
+                Window.orderBy(cluster_col, street_col, zip_col, number_col)
+            )
+            + F.lit(max_id),
+        )
+    )
+    return (
+        members.join(new_ids, [cluster_col, street_col, zip_col, number_col], "left")
+        .withColumn(cluster_col, F.coalesce("_new", F.col(cluster_col)))
+        .drop("_new")
+    )
+
+
+def number_chain_entities(
+    canon: DataFrame,
+    name_col: str = "canonical_name",
+    cluster_col: str = "final_cluster",
+    addr_col: str = "canonical_address",
+) -> DataFrame:
+    """C8 chain-entity numbering (reference resolver.py:943-1001): when the
+    same canonical name belongs to multiple clusters (a chain with several
+    locations), number them ' - N' by address order (W2,
+    resolver.py:979) so canonical names stay unique."""
+    w = Window.partitionBy(name_col).orderBy(
+        F.asc_nulls_last(addr_col), F.asc(cluster_col)
+    )
+    counts = Window.partitionBy(name_col)
+    return (
+        canon.withColumn("_n", F.count("*").over(counts))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn(
+            name_col,
+            F.when(
+                F.col("_n") > 1,
+                F.concat(F.col(name_col), F.lit(" - "), F.col("_i").cast("string")),
+            ).otherwise(F.col(name_col)),
+        )
+        .drop("_n", "_i")
+    )
+
+
 # --- invariants (C12) -------------------------------------------------------
 
 def check_no_key_in_two_clusters(

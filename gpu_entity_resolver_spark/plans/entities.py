@@ -297,7 +297,7 @@ class EntityResolver:
         )
         # canonical name per cluster: V11 election over normalized names
         canon_names = canonical_map(
-            members.select("final_cluster", F.col("normalized_text").alias("nt")),
+            rows.select("final_cluster", F.col("normalized_text").alias("nt")),
             "final_cluster",
             "nt",
         ).withColumnsRenamed({"cluster": "final_cluster", "canonical_text": "_canon_norm"})
@@ -307,16 +307,32 @@ class EntityResolver:
                 F.concat_ws(" ", "normalized_text", "addr_normalized_key")
             ),
         ).join(members.select("doc_id", "final_cluster"), "doc_id")
-        # V12 best address per cluster: completeness desc, freq desc, key asc
-        freq = rows.groupBy("final_cluster", "addr_normalized_key").agg(
-            F.count("*").alias("_freq"), F.first("addr_score").alias("_ascore")
+        # C7 street-number-range split (reference resolver.py:862-888)
+        from ..operators.hygiene import (
+            number_chain_entities,
+            split_by_street_number_range,
         )
+
+        rows = split_by_street_number_range(rows).localCheckpoint(eager=False)
+        # V12 best address per cluster (reference utils.py:168-207): unique
+        # candidates per key, completeness desc, freq desc, key asc; the
+        # winner's parsed components ride along (P7 split output).
+        freq = rows.groupBy("final_cluster", "addr_normalized_key").agg(
+            F.count("*").alias("_freq")
+        )
+        cand = rows.select(
+            "final_cluster", "addr_normalized_key", "addr_score",
+            "addr_street_number", "addr_street_name", "addr_city",
+            "addr_state", "addr_zip",
+        ).dropDuplicates(["final_cluster", "addr_normalized_key"])
         best_addr = (
-            freq.withColumn(
+            cand.join(freq, ["final_cluster", "addr_normalized_key"])
+            .withColumn(
                 "_rn",
                 F.row_number().over(
                     Window.partitionBy("final_cluster").orderBy(
-                        F.desc("_ascore"), F.desc("_freq"), F.asc("addr_normalized_key")
+                        F.desc("addr_score"), F.desc("_freq"),
+                        F.asc("addr_normalized_key"),
                     )
                 ),
             )
@@ -324,13 +340,32 @@ class EntityResolver:
             .select(
                 "final_cluster",
                 F.col("addr_normalized_key").alias("canonical_address"),
+                F.col("addr_street_number").alias("canonical_street_number"),
+                F.col("addr_street_name").alias("canonical_street_name"),
+                F.col("addr_city").alias("canonical_city"),
+                F.col("addr_state").alias("canonical_state"),
+                F.col("addr_zip").alias("canonical_zip"),
             )
         )
+        # C8: one canonical row per cluster; chain entities (same canonical
+        # name at several addresses) get ' - N' numbering (W2).
+        canon_table = number_chain_entities(
+            canon_names.join(best_addr, "final_cluster", "left").select(
+                "final_cluster",
+                F.initcap(F.col("_canon_norm")).alias("canonical_name"),
+                "canonical_address",
+                "canonical_street_number",
+                "canonical_street_name",
+                "canonical_city",
+                "canonical_state",
+                "canonical_zip",
+                "_canon_norm",
+                "cluster_size",
+            )
+        ).localCheckpoint(eager=False)
         jw = make_jw_udf(64)
         out = (
-            rows.join(canon_names, "final_cluster")
-            .join(best_addr, "final_cluster", "left")
-            .withColumn("canonical_name", F.initcap(F.col("_canon_norm")))
+            rows.join(canon_table, "final_cluster")
             .withColumn(
                 "name_similarity", jw("normalized_text", F.col("_canon_norm"))
             )

@@ -8,6 +8,7 @@ import tempfile
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 README_DATA = {
     "company_name": [
@@ -97,6 +98,52 @@ def test_transform_and_save_load(resolver, resolved, spark):
             ]
             == "Crystal Clean"
         )
+
+
+def test_chain_entity_numbering(spark):
+    """C8: same company at multiple far-apart addresses becomes a numbered
+    chain (' - N'), reference resolver.py:943-1001."""
+    from gpu_entity_resolver_spark.plans.entities import EntityResolver
+
+    df = pd.DataFrame(
+        {
+            "company_name": ["Acme Pizza", "Acme Pizza", "Acme Pizza"],
+            "address": [
+                "12 Lake St, Chicago IL 60601",
+                "9000 Desert Rd, Phoenix AZ 85001",
+                "12 Lake Street, Chicago IL 60601",
+            ],
+        }
+    )
+    out = EntityResolver(spark=spark).fit_transform(df)
+    # the two Chicago rows co-cluster; Phoenix (different state) stays apart
+    assert out["final_cluster"].nunique() == 2
+    names = set(out["canonical_name"])
+    assert names == {"Acme Pizza - 1", "Acme Pizza - 2"}, names
+
+
+def test_street_number_range_split(spark):
+    """C7: same street name/zip but street numbers spanning > 50 split."""
+    from gpu_entity_resolver_spark.operators.hygiene import (
+        split_by_street_number_range,
+    )
+
+    rows = [
+        (1, "100", "main street", "60601"),
+        (1, "120", "main street", "60601"),   # span 20 from 100 - same site-ish
+        (2, "100", "oak avenue", "10001"),
+        (2, "900", "oak avenue", "10001"),    # span 800 -> split
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "final_cluster long, addr_street_number string, "
+        "addr_street_name string, addr_zip string",
+    )
+    out = split_by_street_number_range(df)
+    c1 = out.where(F.col("addr_street_name") == "main street")
+    c2 = out.where(F.col("addr_street_name") == "oak avenue")
+    assert c1.select("final_cluster").distinct().count() == 1
+    assert c2.select("final_cluster").distinct().count() == 2
 
 
 def test_report_and_review(resolver, resolved):
