@@ -295,12 +295,6 @@ class EntityResolver:
             .withColumn("final_cluster", F.coalesce("final_cluster", "doc_id"))
             .localCheckpoint(eager=False)
         )
-        # canonical name per cluster: V11 election over normalized names
-        canon_names = canonical_map(
-            rows.select("final_cluster", F.col("normalized_text").alias("nt")),
-            "final_cluster",
-            "nt",
-        ).withColumnsRenamed({"cluster": "final_cluster", "canonical_text": "_canon_norm"})
         rows = prep.withColumn(
             "doc_id",
             F.xxhash64(
@@ -314,6 +308,15 @@ class EntityResolver:
         )
 
         rows = split_by_street_number_range(rows).localCheckpoint(eager=False)
+        # canonical name per cluster: V11 election over normalized names.
+        # Must run AFTER the street-number-range split — the split mints new
+        # final_cluster ids which would otherwise have no canonical row and
+        # be silently dropped by the inner join below.
+        canon_names = canonical_map(
+            rows.select("final_cluster", F.col("normalized_text").alias("nt")),
+            "final_cluster",
+            "nt",
+        ).withColumnsRenamed({"cluster": "final_cluster", "canonical_text": "_canon_norm"})
         # V12 best address per cluster (reference utils.py:168-207): unique
         # candidates per key, completeness desc, freq desc, key asc; the
         # winner's parsed components ride along (P7 split output).
