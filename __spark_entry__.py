@@ -338,11 +338,30 @@ def _q_consolidate_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # C7 split clusters spanning >1 language (reference resolver.py:850-860)
+    # C7 split clusters spanning >1 language (reference resolver.py:850-860).
+    # The operator mints shuffle-free xxhash64 ids (no global sort); for the
+    # DuckDB compare the minted ids are canonicalized back to the reference's
+    # `max_id + dense_rank` numbering — the global window lives only in this
+    # tiny oracle query, never in the operator.
     from gpu_entity_resolver_spark.operators.hygiene import split_clusters_by
 
-    out = split_clusters_by(_members_fixture(spark, sf_dir), "lang")
-    return out.groupBy("cluster", "lang").agg(F.count("*").alias("n"))
+    fix = _members_fixture(spark, sf_dir).withColumn("orig", F.col("cluster"))
+    out = split_clusters_by(fix, "lang")
+    mx = fix.agg(F.max("cluster").alias("_mx"))
+    ren = (
+        out.where(F.col("cluster") != F.col("orig"))
+        .select("orig", "lang")
+        .distinct()
+        .withColumn("_rk", F.dense_rank().over(Window.orderBy("orig", "lang")))
+        .crossJoin(F.broadcast(mx))
+        .select("orig", "lang", (F.col("_rk") + F.col("_mx")).alias("_canon"))
+    )
+    return (
+        out.join(ren, ["orig", "lang"], "left")
+        .withColumn("cluster", F.coalesce("_canon", F.col("cluster")))
+        .groupBy("cluster", "lang")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def _q_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,7 +51,6 @@ class BlockingConfig:
     # precision of 16x4 — fewer garbage pairs is the dominant cost lever.
     seed: int = 42                        # deterministic hash seed
     sorted_neighborhood_prefix: int = 8   # chars of normalized text for SN key
-    sorted_neighborhood_window: int = 5   # neighbors each side in sorted order
     max_block_size: int = 128             # blocks above this get salted/capped
     salt_buckets: int = 8                 # salt fan-out for hot blocks
 

@@ -51,10 +51,10 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 def extracted_text(html_col: Column, text_col: Column) -> Column:
     """Prefer the stored ground-truth extraction when present; otherwise run
-    the UDF. The CASE is evaluated JVM-side so the Python worker only sees
-    rows that actually need extraction is NOT true — Spark evaluates both
-    branches' inputs; we therefore null out html when text exists to keep
-    Arrow transfer small."""
+    the UDF. Spark evaluates the UDF's input for every row regardless of the
+    CASE branch taken, so html is nulled out when text exists — the Python
+    worker still sees every row, but the Arrow transfer carries nulls instead
+    of full html bodies for rows that don't need extraction."""
     need = text_col.isNull() | (text_col == "")
     return F.when(~need, text_col).otherwise(
         extract_text_udf(F.when(need, html_col))

@@ -90,7 +90,9 @@ def normalize_entity_text_sql(
         f"THEN regexp_extract({s}, '{dba}', 1) ELSE {s} END)"
     )
     for pat, rep in _replacement_rules(replacements, suffixes):
-        pat_sql = pat.replace("\\", "\\").replace("'", "''")
+        # DuckDB standard single-quoted literals pass backslashes through
+        # verbatim, so regex escapes need no doubling — only quote doubling.
+        pat_sql = pat.replace("'", "''")
         s = f"regexp_replace({s}, '{pat_sql}', '{rep}', 'g')"
     return f"trim({s})"
 

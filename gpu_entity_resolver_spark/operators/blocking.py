@@ -45,10 +45,17 @@ def minhash_signature(text_col: str, cfg: BlockingConfig) -> Column:
     # the standard trick for long documents. Short docs (sample would be
     # empty) fall back to the full set.
     if cfg.minhash_shingle_mod > 1:
+        # Bind the expensive shingle-hash array ONCE via lambda variables
+        # (transform over a 1-element array), so neither the full set nor the
+        # filtered subset is re-evaluated per reference. The previous CASE
+        # formulation inlined `hs_all` textually into the condition, the THEN
+        # branch and the fallback — 2 evaluations per row of the most
+        # expensive sub-expression on the default config path.
+        m = cfg.minhash_shingle_mod
         hs = (
-            f"CASE WHEN size(filter({hs_all}, h -> pmod(h, {cfg.minhash_shingle_mod}) = 0)) > 0 "
-            f"THEN filter({hs_all}, h -> pmod(h, {cfg.minhash_shingle_mod}) = 0) "
-            f"ELSE {hs_all} END"
+            f"transform(transform(array({hs_all}), "
+            f"a -> struct(a AS a, filter(a, h -> pmod(h, {m}) = 0) AS f)), "
+            f"s -> CASE WHEN size(s.f) > 0 THEN s.f ELSE s.a END)[0]"
         )
     else:
         hs = hs_all

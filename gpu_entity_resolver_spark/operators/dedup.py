@@ -108,6 +108,47 @@ def simhash64(text_col: str, shingle_size: int = 4, seed: int = 42):
     )
 
 
+def simhash64_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, simhash) — same fingerprints as :func:`simhash64`, but as an
+    explode -> groupBy bit-sum instead of a per-row 64-wide boxed fold.
+
+    The fold form allocates a 64-long boxed array per shingle (O(64*S)
+    object ops per doc); this form explodes the distinct shingle hashes and
+    runs 64 primitive long sums + a count inside whole-stage codegen with
+    map-side partial aggregation. Bit b of the fingerprint is set iff more
+    than half of the shingle hashes have bit b set (identical tie semantics
+    to the fold: sum of +/-1 votes > 0  <=>  2*ones > n)."""
+    shingle_hashes = F.expr(
+        f"transform(array_distinct(CASE WHEN length({text_col}) >= {shingle_size} "
+        f"THEN transform(sequence(1, length({text_col}) - {shingle_size} + 1), "
+        f"i -> substring({text_col}, i, {shingle_size})) "
+        f"ELSE array({text_col}) END), x -> xxhash64(x, {seed}))"
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle_hashes).alias("h")
+    )
+    ones = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+        for b in range(64)
+    ]
+    agg = exploded.groupBy("doc_id").agg(F.count("*").alias("_n"), *ones)
+    fingerprint = None
+    for b in range(64):
+        # bit 63 is the long sign bit: 1<<63 overflows, use its 2's-complement
+        val = -(1 << 63) if b == 63 else (1 << b)
+        bit = F.when(
+            F.col(f"_o{b}") * 2 > F.col("_n"), F.lit(val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
 def simhash_bands(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -118,10 +159,7 @@ def simhash_bands(
     equi-joinable near-dup keys (docs within hamming distance ~3 share at
     least one of 4 bands by pigeonhole)."""
     bits_per = 64 // n_bands
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash64(text_col).alias("simhash"),
-    )
+    sh = simhash64_table(docs, id_col, text_col)
     bands = F.expr(
         f"transform(sequence(0, {n_bands - 1}), "
         f"b -> struct(b as band, shiftright(simhash, b * {bits_per}) "

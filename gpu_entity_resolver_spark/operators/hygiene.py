@@ -69,15 +69,18 @@ def split_clusters_by(
         .where(F.col("_nv") > 1)
         .select(cluster_col)
     )
-    max_id = members.agg(F.max(cluster_col)).first()[0] or 0
+    # Shuffle-free deterministic id minting: the reference's `max_id + ngroup`
+    # (resolver.py:857-859) needs a total order — a single-partition sort at
+    # scale. Ids here only need to be unique and deterministic, so mint them
+    # as xxhash64 of the (cluster, split value) pair; collision odds with
+    # existing hash-derived ids are ~n^2/2^64. Only multi-value clusters are
+    # touched.
     new_ids = (
         members.join(multi, cluster_col, "left_semi")
         .select(cluster_col, split_col)
         .distinct()
         .withColumn(
-            "_new",
-            F.dense_rank().over(Window.orderBy(cluster_col, split_col))
-            + F.lit(max_id),
+            "_new", F.xxhash64(F.lit("split"), F.col(cluster_col), F.col(split_col))
         )
     )
     return (
@@ -152,17 +155,20 @@ def split_by_street_number_range(
         .where((F.col("_span") > max_range) & (F.col("_nnum") > 1))
         .select(cluster_col, street_col, zip_col)
     )
-    max_id = members.agg(F.max(cluster_col)).first()[0] or 0
+    # Same shuffle-free hash minting as split_clusters_by (no global sort).
     new_ids = (
         members.join(grp, [cluster_col, street_col, zip_col], "left_semi")
         .select(cluster_col, street_col, zip_col, number_col)
         .distinct()
         .withColumn(
             "_new",
-            F.dense_rank().over(
-                Window.orderBy(cluster_col, street_col, zip_col, number_col)
-            )
-            + F.lit(max_id),
+            F.xxhash64(
+                F.lit("snsplit"),
+                F.col(cluster_col),
+                F.col(street_col),
+                F.col(zip_col),
+                F.col(number_col),
+            ),
         )
     )
     return (
@@ -298,33 +304,39 @@ def assign_new_documents(
     ``new_docs``: (doc_id, norm_text); ``canon``: (cluster, canonical_text).
     Returns (doc_id, cluster, match_score, is_new_entity).
     """
-    from .blocking import blocking_keys, candidate_pairs
+    from .blocking import blocking_keys
     from .scoring import score_pairs
 
     cfg = cfg or ResolverConfig()
     reps = canon.select(
         F.col("cluster").alias("doc_id"), F.col("canonical_text").alias("norm_text")
     )
-    # Union both sides under one id space; canonical reps keep their cluster
-    # ids, new docs must not collide (xxhash64 doc ids vs cluster ids = min
-    # member xxhash64 — collision-free by construction).
     combined = new_docs.select("doc_id", "norm_text").unionByName(reps)
-    pairs = candidate_pairs(
-        blocking_keys(combined, "doc_id", "norm_text", cfg=cfg.blocking),
-        cfg.blocking,
+    # Block each side separately and equi-join the key tables directly:
+    # candidate generation over union(new, reps) would materialize new x new
+    # and rep x rep pairs only to discard them with semi-joins — this form
+    # produces exactly the (new x rep) pairs at roughly half (often far less)
+    # of the pair volume, and can never lose a pair to salt-group splits.
+    new_keys = blocking_keys(
+        new_docs, "doc_id", "norm_text", cfg=cfg.blocking
+    ).withColumnRenamed("doc_id", "new_id")
+    rep_keys = blocking_keys(
+        reps, "doc_id", "norm_text", cfg=cfg.blocking
+    ).withColumnRenamed("doc_id", "rep_id").localCheckpoint(eager=False)
+    # Hot-key cap (the cross-table analog of salt_blocks): a block key shared
+    # by more than max_block_size reps is a near-useless discriminator and
+    # would fan out new_n x rep_n rows — drop it; every doc carries many
+    # independent keys so recall loss is bounded.
+    hot = (
+        rep_keys.groupBy("block_key")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > cfg.blocking.max_block_size)
+        .select("block_key")
     )
-    new_ids = new_docs.select(F.col("doc_id").alias("_nid"))
-    rep_ids = reps.select(F.col("doc_id").alias("_rid"))
-    # keep only (new x rep) pairs, in either orientation
     nr = (
-        pairs.join(new_ids, pairs.src == new_ids._nid, "left_semi")
-        .join(rep_ids, pairs.dst == rep_ids._rid, "left_semi")
-        .select(F.col("src").alias("new_id"), F.col("dst").alias("rep_id"))
-        .unionByName(
-            pairs.join(rep_ids, pairs.src == rep_ids._rid, "left_semi")
-            .join(new_ids, pairs.dst == new_ids._nid, "left_semi")
-            .select(F.col("dst").alias("new_id"), F.col("src").alias("rep_id"))
-        )
+        new_keys.join(hot, "block_key", "left_anti")
+        .join(rep_keys, "block_key")
+        .select("new_id", "rep_id")
         .distinct()
     )
     scored = score_pairs(

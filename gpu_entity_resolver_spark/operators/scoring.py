@@ -94,8 +94,14 @@ def score_pairs(
         .join(sketches.withColumnsRenamed({"doc_id": "dst", "t": "t_b"}), "dst")
     )
     max_len = F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1))
+    # levenshtein(threshold=...) returns -1 when distance exceeds the
+    # threshold. Sketches are <= 3*seg chars so that can't happen today, but
+    # guard the sentinel explicitly: a future sketch-length change would
+    # otherwise silently yield lev_ratio > 1 for the most dissimilar pairs.
+    lev_raw = F.levenshtein("t_a", "t_b", 3 * seg)
     lev = F.least(
-        F.levenshtein("t_a", "t_b", 3 * seg), max_len.cast("int")
+        F.when(lev_raw < 0, max_len.cast("int")).otherwise(lev_raw),
+        max_len.cast("int"),
     )
     jw_udf = make_jw_udf(max_chars=3 * seg)
     scored = with_texts.select(

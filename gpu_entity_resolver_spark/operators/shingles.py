@@ -48,7 +48,11 @@ def tfidf_weights(
     (doc, shingle). Matches sklearn/cuML formula the reference uses:
     ``w = (1 + ln tf) * (ln((1+N)/(1+df)) + 1)``, then L2 per doc.
     """
-    n_docs = docs.count()
+    # N (corpus size) stays a lazy 1-row aggregate broadcast into the weight
+    # expression — an eager docs.count() here fired a full scan at plan
+    # CONSTRUCTION time on every score_pairs call (including merge/assign
+    # paths); as part of the plan it runs once, inside the same job.
+    n_docs = docs.agg(F.count("*").alias("_n_docs"))
     tokens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(char_shingles(text_col, n_lo, n_hi)).alias("shingle"),
@@ -59,10 +63,17 @@ def tfidf_weights(
         dfreq = dfreq.where(F.col("df") >= min_df)
     w_raw = (
         tf.join(dfreq, "shingle")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "w_raw",
             (1.0 + F.log(F.col("tf").cast("double")))
-            * (F.log((F.lit(float(1 + n_docs))) / (1.0 + F.col("df"))) + 1.0),
+            * (
+                F.log(
+                    (1.0 + F.col("_n_docs").cast("double"))
+                    / (1.0 + F.col("df"))
+                )
+                + 1.0
+            ),
         )
     )
     norms = w_raw.groupBy("doc_id").agg(

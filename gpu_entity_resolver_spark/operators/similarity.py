@@ -82,16 +82,33 @@ def ivf_topk(
         .limit(n_centroids)
         .select(F.col("nid").alias("centroid_id"), F.col("cv").alias("centv"))
     )
-    # corpus -> nearest centroid (broadcast centroids; one pass)
-    assign_w = Window.partitionBy("nid").orderBy(
-        F.desc("csim"), F.asc("centroid_id")
+    # corpus -> nearest centroid: a single-projection argmax over the
+    # broadcast centroid array. The former formulation crossJoined then
+    # ranked with a per-nid window — a corpus x n_centroids shuffle that an
+    # argmax projection makes unnecessary (zero shuffle, one corpus pass).
+    # Centroids are L2-normalized once, so argmax dot == argmax cosine.
+    cents_n = cents.select(
+        "centroid_id",
+        F.expr(
+            "transform(centv, x -> cast(x as double) / "
+            "sqrt(aggregate(centv, 0D, (a, y) -> a + cast(y as double) * y)))"
+        ).alias("centv"),
+    )
+    cents_arr = cents_n.agg(
+        F.collect_list(F.struct("centroid_id", "centv")).alias("_cs")
+    )
+    argmax = F.expr(
+        "aggregate("
+        "transform(_cs, ct -> struct(ct.centroid_id AS cid, "
+        "aggregate(zip_with(cv, ct.centv, (x, y) -> cast(x as double) * y), "
+        "0D, (a, v) -> a + v) AS d)), "
+        "struct(cast(-1 as bigint) AS cid, cast(-1e18 as double) AS d), "
+        "(acc, e) -> CASE WHEN e.d > acc.d OR (e.d = acc.d AND e.cid < acc.cid) "
+        "THEN struct(e.cid AS cid, e.d AS d) ELSE acc END)"
     )
     assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .select("nid", "cv", "centroid_id", _cosine("cv", "centv").alias("csim"))
-        .withColumn("rn", F.row_number().over(assign_w))
-        .where(F.col("rn") == 1)
-        .select("nid", "cv", "centroid_id")
+        c.crossJoin(F.broadcast(cents_arr))
+        .select("nid", "cv", argmax.getField("cid").alias("centroid_id"))
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     probe_w = Window.partitionBy("query_id").orderBy(

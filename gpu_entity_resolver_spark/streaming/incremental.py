@@ -48,11 +48,15 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """Exact streaming dedup: keep the first occurrence of each content
     fingerprint, with a watermark bounding the dedup state (late pages
-    beyond the watermark are dropped rather than growing state forever)."""
+    beyond the watermark are dropped rather than growing state forever).
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` on a
+    key set that excludes the event-time column never evicts state — the
+    watermark would be advertised but state would grow without bound."""
     return (
         normalize_stream(stream, cfg)
         .withWatermark("warc_ts", watermark)
-        .dropDuplicates(["fingerprint"])
+        .dropDuplicatesWithinWatermark(["fingerprint"])
     )
 
 

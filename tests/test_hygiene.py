@@ -76,8 +76,8 @@ def test_split_clusters_by(spark):
     ids = {c for _, c in clusters}
     assert langs == {"en", "de"} and len(ids) == 2  # split happened
     assert out.where(F.col("norm_text").startswith("y")).select("cluster").distinct().count() == 1
-    # minted ids exceed the previous max
-    assert max(ids) > 20
+    # minted ids are fresh: distinct per language and disjoint from input ids
+    assert ids.isdisjoint({10, 20})
 
 
 def test_invariant_unique_canonical(spark):
