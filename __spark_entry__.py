@@ -364,6 +364,230 @@ def _q_split_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 12 well-separated entity families for the validation/consolidation
+# fixtures: max cross-family name JW = 0.704 (< 0.89 threshold), max
+# cross-family address JW = 0.761 (< 0.87); the 'street' spelling variant
+# sits at JW 0.932 (>= 0.87). Mirrored verbatim in the DuckDB oracles.
+_FAMILIES = [
+    "crystal clean", "midwest waste", "acme trucking", "zebra holdings",
+    "quarry granite", "delta freight", "northern pine", "sunset grill",
+    "harbor marine", "iron foundry", "maple bakery", "cobalt mining",
+]
+_STREETS = ["main", "oak", "birch", "cedar", "elm", "maple",
+            "walnut", "spruce", "aspen", "willow", "poplar", "hickory"]
+_CITIES = ["rockford", "peoria", "naperville", "springfield", "evanston",
+           "joliet", "aurora", "waukegan", "decatur", "champaign",
+           "galena", "moline"]
+_FAM_ADDRS = [
+    f"{11 + 7 * i} {s} st {c} il"
+    for i, (s, c) in enumerate(zip(_STREETS, _CITIES))
+]
+
+
+def _fam_sql_list(vals: list[str]) -> str:
+    return "[" + ", ".join("'" + v + "'" for v in vals) + "]"
+
+
+def _q_validate_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C3 validate + reassign (reference resolver.py:2334-2651): members
+    # planted into the WRONG family cluster fail the 0.89/0.87 JW eviction
+    # filter against their cluster profile and get reassigned to the family
+    # whose profile they actually match (weighted argmax, weights
+    # config.py:213-218). Profiles are explicit so the oracle is exact.
+    from gpu_entity_resolver_spark.operators.validate import validate_reassign
+
+    names = F.array(*[F.lit(x) for x in _FAMILIES])
+    addrs = F.array(*[F.lit(x) for x in _FAM_ADDRS])
+    f = (F.col("o_custkey") % 12).cast("int")
+    mover = F.col("o_orderkey") % 97 == 0
+    members = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.element_at(names, f + 1).alias("normalized_text"),
+        F.element_at(addrs, f + 1).alias("addr_normalized_key"),
+        F.lit("il").alias("addr_state"),
+        F.when(mover, (f + 1) % 12).otherwise(f).cast("long").alias("cluster"),
+    )
+    profiles = spark.createDataFrame(
+        [
+            (i, _FAMILIES[i], _FAM_ADDRS[i], "il", 10, 0.9)
+            for i in range(12)
+        ],
+        "cluster long, profile_name string, profile_addr_key string, "
+        "profile_state string, size long, avg_prob double",
+    )
+    out = validate_reassign(members, profiles=profiles)
+    return out.select("doc_id", "cluster", "membership_status")
+
+
+def _q_enrich_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C7 address enrichment (reference resolver.py:790-841): street-less
+    # rows inherit the cluster's best street iff city/state/zip match the
+    # canonical address; the key is rebuilt and the row flagged.
+    from gpu_entity_resolver_spark.operators.validate import enrich_addresses
+
+    streets = F.array(*[F.lit(x) for x in _STREETS])
+    cities = F.array(*[F.lit(x) for x in _CITIES])
+    cl = (F.col("o_custkey") % 100).cast("long")
+    missing = F.col("o_orderkey") % 7 == 0
+    badzip = missing & (F.col("o_orderkey") % 3 == 0)
+    num = F.when(missing, "").otherwise((11 + cl % 10).cast("string"))
+    street = F.when(missing, "").otherwise(
+        F.element_at(streets, (cl % 12).cast("int") + 1)
+    )
+    city = F.element_at(cities, (cl % 12).cast("int") + 1)
+    zipc = F.when(badzip, "99999").otherwise((60000 + cl).cast("string"))
+    rows = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("doc_id"),
+        cl.alias("cluster"),
+        num.alias("addr_street_number"),
+        street.alias("addr_street_name"),
+        city.alias("addr_city"),
+        F.lit("il").alias("addr_state"),
+        zipc.alias("addr_zip"),
+        F.when(missing, 0.5).otherwise(1.0).alias("addr_score"),
+    ).withColumn(
+        "addr_normalized_key",
+        address_key(
+            F.col("addr_street_number"), F.col("addr_street_name"),
+            F.col("addr_city"), F.col("addr_state"), F.col("addr_zip"),
+        ),
+    )
+    out = enrich_addresses(rows, "cluster")
+    return out.select(
+        "doc_id", "address_was_enriched", "addr_street_name",
+        "addr_normalized_key",
+    )
+
+
+def _q_consolidate_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C1 (reference resolver.py:1644-1709): the minority 'street' spelling
+    # folds into each family's majority 'st' key (score tie -> freq -> key)
+    from gpu_entity_resolver_spark.operators.hygiene import (
+        consolidate_similar_addresses,
+    )
+
+    addrs = F.array(*[F.lit(x) for x in _FAM_ADDRS])
+    f = (F.col("o_custkey") % 12).cast("int")
+    variant = F.col("o_orderkey") % 5 == 0
+    base = F.element_at(addrs, f + 1)
+    members = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.when(
+            variant, F.regexp_replace(base, " st ", " street ")
+        ).otherwise(base).alias("addr_normalized_key"),
+        F.lit(1.0).alias("addr_score"),
+    )
+    out = consolidate_similar_addresses(members)
+    return out.select("doc_id", "addr_normalized_key")
+
+
+def _q_consolidate_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C2 (reference resolver.py:256-299): addresses carrying two name
+    # spellings elect one canonical (V11); the majority base name wins by
+    # frequency x similarity x length in this construction
+    from gpu_entity_resolver_spark.operators.hygiene import (
+        consolidate_names_by_address,
+    )
+
+    names = F.array(*[F.lit(x) for x in _FAMILIES])
+    addrs = F.array(*[F.lit(x) for x in _FAM_ADDRS])
+    f = (F.col("o_custkey") % 12).cast("int")
+    variant = F.col("o_orderkey") % 5 == 0
+    base = F.element_at(names, f + 1)
+    members = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.element_at(addrs, f + 1).alias("addr_normalized_key"),
+        F.when(variant, F.concat(base, F.lit(" co"))).otherwise(base).alias(
+            "normalized_text"
+        ),
+    )
+    out = consolidate_names_by_address(members)
+    return out.select("doc_id", "normalized_text")
+
+
+def _q_attach_singletons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G8 noise attachment (reference utils.py:473-545): singletons with a
+    # strong unambiguous neighbor signal attach; weak means (< tau 0.82)
+    # stay singletons. Pair construction is deterministic from orders.
+    from gpu_entity_resolver_spark.operators.hygiene import attach_singletons
+
+    o = _read(spark, sf_dir, "orders")
+    is_single = F.col("o_orderkey") % 101 == 0
+    labels = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.when(is_single, F.col("o_orderkey"))
+        .otherwise(F.col("o_custkey") % 50)
+        .cast("long")
+        .alias("cluster"),
+    )
+    singles = o.where(is_single).select(
+        F.col("o_orderkey").alias("s_id"),
+        (F.col("o_custkey") % 50).alias("home"),
+        ((F.col("o_custkey") + 1) % 50).alias("decoy"),
+        F.when(F.col("o_orderkey") % 202 == 0, 0.7).otherwise(0.9).alias(
+            "strong_score"
+        ),
+    )
+    members = o.where(~is_single).select(
+        F.col("o_orderkey").alias("m_id"),
+        (F.col("o_custkey") % 50).alias("m_cluster"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("s_id", "m_cluster").orderBy("m_id")
+    )
+    home_pairs = (
+        singles.join(members, singles.home == members.m_cluster)
+        .withColumn("_rk", rk)
+        .where(F.col("_rk") <= 3)
+        .select(
+            F.col("s_id").alias("src"), F.col("m_id").alias("dst"),
+            F.col("strong_score").alias("score"),
+        )
+    )
+    decoy_pairs = (
+        singles.join(members, singles.decoy == members.m_cluster)
+        .withColumn("_rk", rk)
+        .where(F.col("_rk") <= 2)
+        .select(
+            F.col("s_id").alias("src"), F.col("m_id").alias("dst"),
+            F.lit(0.5).alias("score"),
+        )
+    )
+    out = attach_singletons(home_pairs.unionByName(decoy_pairs), labels)
+    return out.select("doc_id", "cluster")
+
+
+def _q_ensemble_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7/G10 ensemble purity mapping (reference resolver.py:2157-2230)
+    from gpu_entity_resolver_spark.operators.hygiene import (
+        ensemble_overlap_purity,
+    )
+
+    o = _read(spark, sf_dir, "orders")
+    # ~9% of rows cross over to a different a-cluster so purities land
+    # strictly between the thresholds and 1.0
+    a = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        (
+            (
+                F.col("o_custkey")
+                + F.when(F.col("o_orderkey") % 11 == 0, 1).otherwise(0)
+            )
+            % 50
+        ).cast("long").alias("cluster"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.when(
+            F.col("o_orderkey") % 17 == 0, 150 + F.col("o_custkey") % 150
+        )
+        .otherwise(F.col("o_custkey") % 150)
+        .cast("long")
+        .alias("cluster"),
+    )
+    return ensemble_overlap_purity(a, b)
+
+
 def _q_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P5 phonetic key (JVM soundex path; metaphone UDF covered in tests)
     from gpu_entity_resolver_spark.functions.phonetic import soundex_key
@@ -517,6 +741,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "knn_bruteforce": _q_knn_bruteforce,
         "embedding_neardup": _q_embedding_neardup,
+        "validate_reassign": _q_validate_reassign,
+        "enrich_address": _q_enrich_address,
+        "consolidate_addresses": _q_consolidate_addresses,
+        "consolidate_names": _q_consolidate_names,
+        "attach_singletons": _q_attach_singletons,
+        "ensemble_purity": _q_ensemble_purity,
         # rows-only (no oracle_sql entry):
         "consolidate_identical": _q_consolidate_identical,
         "split_clusters": _q_split_clusters,
@@ -679,6 +909,99 @@ def oracle_sql() -> dict[str, str]:
             "c.vec_id ASC) AS INTEGER) AS rk "
             "FROM embeddings q, embeddings c "
             "WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rk <= 5"
+        ),
+        # C3: movers planted into the wrong family fail the 0.89/0.87 JW
+        # eviction filter (max cross-family JW 0.704/0.761 by construction,
+        # so the weighted argmax can only land on the true family) and get
+        # reassigned; everyone else validates in place.
+        "validate_reassign": (
+            "SELECT o_orderkey AS doc_id, CAST(o_custkey % 12 AS BIGINT) AS cluster, "
+            "CASE WHEN o_orderkey % 97 = 0 THEN 'reassigned' ELSE 'kept' END "
+            "AS membership_status FROM orders"
+        ),
+        # C7 enrichment: full algorithmic replica (best address by score
+        # desc, freq desc, key asc; enrich iff street empty and
+        # city/state/zip equal the canonical; key rebuilt)
+        "enrich_address": (
+            "WITH m AS (SELECT o_orderkey AS doc_id, "
+            "CAST(o_custkey % 100 AS BIGINT) AS cluster, "
+            "(o_orderkey % 7 = 0) AS missing, "
+            "(o_orderkey % 7 = 0 AND o_orderkey % 3 = 0) AS badzip FROM orders), "
+            "rws AS (SELECT doc_id, cluster, missing, "
+            "CASE WHEN missing THEN '' ELSE CAST(11 + cluster % 10 AS VARCHAR) END AS num, "
+            f"CASE WHEN missing THEN '' ELSE {_fam_sql_list(_STREETS)}[CAST(cluster % 12 AS INT) + 1] END AS street, "
+            f"{_fam_sql_list(_CITIES)}[CAST(cluster % 12 AS INT) + 1] AS city, "
+            "'il' AS state, "
+            "CASE WHEN badzip THEN '99999' ELSE CAST(60000 + cluster AS VARCHAR) END AS zip "
+            "FROM m), "
+            "keyed AS (SELECT *, CASE WHEN missing THEN 0.5 ELSE 1.0 END AS score, "
+            "trim(regexp_replace(lower(concat_ws(' ', num, street, city, state, zip)), "
+            "'\\s+', ' ', 'g')) AS akey FROM rws), "
+            "freq AS (SELECT cluster, akey, count(*) AS f FROM keyed GROUP BY 1, 2), "
+            "csize AS (SELECT cluster, count(*) AS cs FROM keyed GROUP BY 1), "
+            "cand AS (SELECT DISTINCT cluster, akey, score, num, street, city, state, zip FROM keyed), "
+            "best AS (SELECT cluster, num AS c_num, street AS c_street, "
+            "city AS c_city, state AS c_state, zip AS c_zip FROM ("
+            "SELECT c.*, row_number() OVER (PARTITION BY c.cluster "
+            "ORDER BY c.score DESC, f.f DESC, c.akey ASC) AS rn "
+            "FROM cand c JOIN freq f USING (cluster, akey) "
+            "JOIN csize s USING (cluster) WHERE s.cs >= 2) WHERE rn = 1) "
+            "SELECT k.doc_id, "
+            "coalesce(k.street = '' AND b.c_street IS NOT NULL AND b.c_street <> '' "
+            "AND k.city = b.c_city AND k.state = b.c_state AND k.zip = b.c_zip, FALSE) "
+            "AS address_was_enriched, "
+            "CASE WHEN coalesce(k.street = '' AND b.c_street IS NOT NULL AND b.c_street <> '' "
+            "AND k.city = b.c_city AND k.state = b.c_state AND k.zip = b.c_zip, FALSE) "
+            "THEN b.c_street ELSE k.street END AS addr_street_name, "
+            "CASE WHEN coalesce(k.street = '' AND b.c_street IS NOT NULL AND b.c_street <> '' "
+            "AND k.city = b.c_city AND k.state = b.c_state AND k.zip = b.c_zip, FALSE) "
+            "THEN trim(regexp_replace(lower(concat_ws(' ', b.c_num, b.c_street, "
+            "k.city, k.state, k.zip)), '\\s+', ' ', 'g')) ELSE k.akey END "
+            "AS addr_normalized_key "
+            "FROM keyed k LEFT JOIN best b USING (cluster)"
+        ),
+        # C1: every 'street' variant folds back into the family's majority
+        # 'st' key (variant JW 0.932 >= 0.87; cross-family max 0.761)
+        "consolidate_addresses": (
+            "SELECT o_orderkey AS doc_id, "
+            f"{_fam_sql_list(_FAM_ADDRS)}[CAST(o_custkey % 12 AS INT) + 1] "
+            "AS addr_normalized_key FROM orders"
+        ),
+        # C2: the ' co' minority spelling is rewritten to the elected
+        # majority base name at every conflicted address
+        "consolidate_names": (
+            "SELECT o_orderkey AS doc_id, "
+            f"{_fam_sql_list(_FAMILIES)}[CAST(o_custkey % 12 AS INT) + 1] "
+            "AS normalized_text FROM orders"
+        ),
+        # G8: strong singletons (mean 0.9, 3 matching neighbors, ratio 1.8)
+        # attach to their home cluster; weak ones (mean 0.7 < tau) stay
+        "attach_singletons": (
+            "SELECT o_orderkey AS doc_id, "
+            "CAST(CASE WHEN o_orderkey % 101 = 0 AND o_orderkey % 202 <> 0 "
+            "THEN o_custkey % 50 "
+            "WHEN o_orderkey % 101 = 0 THEN o_orderkey "
+            "ELSE o_custkey % 50 END AS BIGINT) AS cluster FROM orders"
+        ),
+        # A7: full algorithmic replica of the purity mapping
+        "ensemble_purity": (
+            "WITH a AS (SELECT o_orderkey AS doc_id, "
+            "CAST((o_custkey + CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) % 50 "
+            "AS BIGINT) AS a FROM orders), "
+            "b AS (SELECT o_orderkey AS doc_id, "
+            "CAST(CASE WHEN o_orderkey % 17 = 0 THEN 150 + o_custkey % 150 "
+            "ELSE o_custkey % 150 END AS BIGINT) AS b FROM orders), "
+            "j AS (SELECT b.b, a.a FROM a JOIN b USING (doc_id)), "
+            "ov AS (SELECT b, a, count(*) AS overlap_size FROM j GROUP BY 1, 2), "
+            "tot AS (SELECT b, sum(overlap_size) AS tot FROM ov GROUP BY 1), "
+            "best AS (SELECT ov.b, ov.a, ov.overlap_size, "
+            "ov.overlap_size / CAST(t.tot AS DOUBLE) AS purity, "
+            "row_number() OVER (PARTITION BY ov.b "
+            "ORDER BY ov.overlap_size DESC, ov.a ASC) AS rn "
+            "FROM ov JOIN tot t USING (b)) "
+            "SELECT b AS b_cluster, a AS a_cluster, overlap_size, "
+            "round(purity, 6) AS purity FROM best "
+            "WHERE rn = 1 AND purity >= 0.75 AND overlap_size >= 2"
         ),
         # exact all-pairs ground truth for the banded-multiprobe LSH query:
         # at cos >= 0.95 the per-pair LSH miss probability is ~1e-6, and on

@@ -53,6 +53,12 @@ class BlockingConfig:
     sorted_neighborhood_prefix: int = 8   # chars of normalized text for SN key
     max_block_size: int = 128             # blocks above this get salted/capped
     salt_buckets: int = 8                 # salt fan-out for hot blocks
+    # V2 phonetic key family (reference gives phonetics 15% of the stream
+    # energy, config.py:117-124): soundex-per-word keys catch misspellings
+    # the char-shingle families miss. Off for long web documents (soundex of
+    # prose is noise), on for the short-entity-name path.
+    use_phonetic_keys: bool = False
+    phonetic_key_words: int = 2
 
 
 @dataclass
@@ -90,10 +96,13 @@ class ScoringConfig:
     tfidf_top_k: int = 64                 # per-doc vector pruning for pair cosine
     # Pairs below this shingle-cosine skip the quadratic JW/Levenshtein
     # kernels entirely (two-phase scoring; reference's prefilter pattern,
-    # utils.py:602-621). Measured on the fixture: true-pair cosine p1 = 0.53,
-    # false-pair p99 = 0.16 — 0.20 keeps every true pair with margin while
-    # skipping ~98% of candidates.
-    cosine_prefilter: float = 0.20
+    # utils.py:602-621). Measured on the amplified sf0.1 corpus (129k docs,
+    # 4.8M candidates, 300k labeled true pairs): true-pair cosine p0.1% =
+    # 0.552, false-pair p50 = 0.215 — 0.35 sits in the gap, keeps every
+    # true pair, and cuts the quadratic-kernel survivors by 73%
+    # (2.82M -> 0.74M). The JW stage is memory-bandwidth-bound, so survivor
+    # count is the scaling lever for the whole scoring stage.
+    cosine_prefilter: float = 0.35
     # JW/Levenshtein run over a bounded "content sketch" (first+middle+last
     # sketch_chars of the normalized text) rather than a prefix truncation:
     # web corpora contain documents sharing long identical prefixes, which a
@@ -113,26 +122,45 @@ class ClusteringConfig:
 
     cc_max_iterations: int = 50
     min_cluster_size: int = 1             # reference HDBSCAN uses 3; CC keeps all
-    # hygiene stages (reference stage order, resolver.py:1599-1620)
+    # hygiene stages (reference stage order, resolver.py:1573-1620)
     consolidate_identical: bool = True    # C6
     split_by_lang: bool = True            # C7 (state-split analog)
     merge_similar: bool = False           # C5 — off by default: an extra
     # blocking+scoring pass over cluster representatives; enable for
     # recall-critical workloads
-    name_match_threshold: float = 0.89    # config.py:202 validation
-    merge_median_threshold: float = 0.84  # config.py:153-156 SNN merge
+    validate_membership: bool = True      # C3 (entity path)
+    enrich_addresses: bool = True         # C7 enrichment (entity path)
+    consolidate_addresses: bool = True    # C1 (entity path)
+    consolidate_names: bool = True        # C2 (entity path)
+    attach_noise: bool = False            # G8 — rescue singletons (optional)
+    # validation thresholds (reference config.py:201-207)
+    name_match_threshold: float = 0.89    # name_fuzz_ratio / 100
+    addr_match_threshold: float = 0.87    # address_fuzz_ratio / 100
+    # cross-border merges allowed for these (state, state) pairs only;
+    # empty = identical states enforced (reference config.py:204-207)
+    allow_neighboring_states: tuple = ()
+    # G9 sampled-member merge (reference config.py:150-169)
+    merge_median_threshold: float = 0.84
     merge_max_threshold: float = 0.90
+    merge_sample_size: int = 20
+    centroid_similarity_threshold: float = 0.75
+    # G8 noise attachment (reference config.py:135-148)
+    attachment_similarity_threshold: float = 0.82
+    attachment_min_matching: int = 2
+    attachment_ratio_threshold: float = 1.5
 
 
 @dataclass
 class ConfidenceConfig:
-    """Confidence-score weights, reference config.py:223-229."""
+    """Confidence-score weights — exactly the reference's
+    (config.py:228-235: cluster_probability .25 / name_similarity .20 /
+    address_confidence .25 / cohesion_score .15 / cluster_size_factor .15)."""
 
-    name_similarity_weight: float = 0.25
-    avg_cluster_prob_weight: float = 0.20
-    cluster_size_weight: float = 0.25
+    avg_cluster_prob_weight: float = 0.25
+    name_similarity_weight: float = 0.20
+    address_confidence_weight: float = 0.25
     cohesion_weight: float = 0.15
-    address_confidence_weight: float = 0.15
+    cluster_size_weight: float = 0.15
     review_confidence_threshold: float = 0.75
     review_change_threshold: float = 0.70
 

@@ -138,6 +138,25 @@ def host_keys(
     ).where(F.col("block_key") != "host:")
 
 
+def phonetic_block_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    max_words: int = 2,
+) -> DataFrame:
+    """V2 phonetic key family: soundex per word over the first ``max_words``
+    words (JVM soundex, no Python). Blocks together name variants whose
+    spelling diverges beyond shingle reach ('jonsen'/'johnson'). The
+    reference routes the same signal through a phonetic count-vector stream
+    at 15% energy (config.py:117-124)."""
+    from ..functions.phonetic import soundex_key
+
+    key = F.concat(F.lit("ph:"), soundex_key(F.col(text_col), max_words))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), key.alias("block_key")
+    ).where(F.length("block_key") > 3)
+
+
 def salt_blocks(
     blocks: DataFrame,
     cfg: BlockingConfig | None = None,
@@ -217,4 +236,8 @@ def blocking_keys(
     )
     if url_col is not None:
         keys = keys.unionByName(host_keys(docs, id_col, url_col))
+    if cfg.use_phonetic_keys:
+        keys = keys.unionByName(
+            phonetic_block_keys(docs, id_col, text_col, cfg.phonetic_key_words)
+        )
     return keys

@@ -95,29 +95,106 @@ def merge_similar_clusters(
     canon: DataFrame,
     cfg: ResolverConfig | None = None,
     cluster_col: str = "cluster",
+    text_col: str = "norm_text",
+    canon_addr: DataFrame | None = None,
 ) -> DataFrame:
-    """C5: merge over-split clusters whose canonical representatives are
-    near-identical (reference resolver.py:542-700, thresholds
-    config.py:150-169). Candidate canonical pairs come from the same
-    blocking machinery; merged components relabel to the smallest member id
-    via connected components (replaces the reference's union-find loop,
-    utils.py:570-579)."""
+    """C5/G9: merge over-split clusters using the reference's SAMPLED-MEMBER
+    semantics (utils.py:589-656, config.py:150-169):
+
+    1. candidate cluster pairs: canonical representatives blocked + scored,
+       prefiltered at ``centroid_similarity`` (the centroid-prefilter analog,
+       config.py:164-166);
+    2. per candidate pair, up to ``merge_sample_size`` members are sampled
+       from each side DETERMINISTICALLY (xxhash64 rank — reproducible across
+       runs and parallelism, unlike the reference's cupy.random.choice);
+    3. all sampled cross pairs are scored with the standard scorer; the pair
+       merges only when the member-pair MEDIAN >= merge_median_threshold AND
+       MAX >= merge_max_threshold;
+    4. optionally (J3, reference resolver.py:609-632) a per-cluster address
+       string table gates merges: clusters merge only when their canonical
+       ADDRESSES are also similar — the name-edge ∩ addr-edge intersection;
+    5. merged components relabel via connected components (replaces the
+       reference's union-find loop, utils.py:570-579).
+    """
     from .blocking import blocking_keys, candidate_pairs
     from .connected_components import connected_components
-    from .scoring import score_pairs
+    from .scoring import make_jw_udf, score_pairs
 
     cfg = cfg or ResolverConfig()
+    ccfg = cfg.clustering
     reps = canon.select(
         F.col(cluster_col).alias("doc_id"),
-        F.col("canonical_text").alias("norm_text"),
+        F.col("canonical_text").alias(text_col),
     ).localCheckpoint(eager=False)
     pairs = candidate_pairs(
-        blocking_keys(reps, "doc_id", "norm_text", cfg=cfg.blocking), cfg.blocking
+        blocking_keys(reps, "doc_id", text_col, cfg=cfg.blocking), cfg.blocking
     )
-    scored = score_pairs(pairs, reps, "doc_id", "norm_text", cfg.scoring)
-    merge_edges = scored.where(
-        F.col("score") >= cfg.clustering.merge_max_threshold
-    ).select("src", "dst")
+    rep_scored = score_pairs(pairs, reps, "doc_id", text_col, cfg.scoring)
+    cand = rep_scored.where(
+        F.col("score") >= ccfg.centroid_similarity_threshold
+    ).select(F.col("src").alias("_ca"), F.col("dst").alias("_cb"))
+    # J3 address-edge intersection: both names AND addresses must be similar
+    if canon_addr is not None:
+        jw = make_jw_udf(64)
+        addr = canon_addr.select(
+            F.col(cluster_col).alias("_c"), F.col("canonical_address").alias("_ad")
+        )
+        cand = (
+            cand.join(addr.withColumnsRenamed({"_c": "_ca", "_ad": "_ad_a"}), "_ca")
+            .join(addr.withColumnsRenamed({"_c": "_cb", "_ad": "_ad_b"}), "_cb")
+            .where(jw("_ad_a", "_ad_b") >= ccfg.addr_match_threshold)
+            .select("_ca", "_cb")
+        )
+    cand = cand.localCheckpoint(eager=False)
+    if cand.isEmpty():
+        return members
+    # deterministic per-cluster member sample (<= merge_sample_size)
+    sample = (
+        members.select(F.col(cluster_col).alias("_c"), F.col("doc_id"), text_col)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_c").orderBy(F.xxhash64("doc_id", F.lit(42)))
+            ),
+        )
+        .where(F.col("_rk") <= ccfg.merge_sample_size)
+        .drop("_rk")
+        .localCheckpoint(eager=False)
+    )
+    mem_pairs = (
+        cand.join(
+            sample.select(
+                F.col("_c").alias("_ca"), F.col("doc_id").alias("src")
+            ),
+            "_ca",
+        )
+        .join(
+            sample.select(
+                F.col("_c").alias("_cb"), F.col("doc_id").alias("dst")
+            ),
+            "_cb",
+        )
+        .select("_ca", "_cb", "src", "dst")
+    )
+    mem_scored = score_pairs(
+        mem_pairs.select("src", "dst").distinct(),
+        sample.select("doc_id", text_col),
+        "doc_id",
+        text_col,
+        cfg.scoring,
+    )
+    stats = (
+        mem_pairs.join(mem_scored, ["src", "dst"])
+        .groupBy("_ca", "_cb")
+        .agg(
+            F.expr("percentile(score, 0.5)").alias("_med"),
+            F.max("score").alias("_max"),
+        )
+    )
+    merge_edges = stats.where(
+        (F.col("_med") >= ccfg.merge_median_threshold)
+        & (F.col("_max") >= ccfg.merge_max_threshold)
+    ).select(F.col("_ca").alias("src"), F.col("_cb").alias("dst"))
     if merge_edges.isEmpty():
         return members
     remap = connected_components(merge_edges).withColumnsRenamed(
@@ -127,6 +204,122 @@ def merge_similar_clusters(
         members.join(remap, cluster_col, "left")
         .withColumn(cluster_col, F.coalesce("_merged", F.col(cluster_col)))
         .drop("_merged")
+    )
+
+
+def attach_singletons(
+    pairs: DataFrame,
+    labels: DataFrame,
+    tau: float = 0.82,
+    min_matching: int = 2,
+    ratio_threshold: float = 1.5,
+) -> DataFrame:
+    """G8 noise attachment (reference utils.py:473-545): attach a singleton
+    to an existing cluster when its scored in-block neighbors give a strong,
+    UNAMBIGUOUS signal:
+
+    - candidate clusters ranked by neighbor count (most frequent first);
+    - ratio test: mean similarity to the best candidate must be >=
+      ``ratio_threshold`` x the mean to the second-best (ambiguous pulls
+      are skipped);
+    - strength test: >= ``min_matching`` neighbors, mean sim >= tau, and
+      >= ``min_matching`` of them individually >= tau.
+
+    ``pairs``: (src, dst, score) — the pipeline's already-scored candidate
+    pairs (no extra scoring pass). ``labels``: (doc_id, cluster).
+    Returns labels with singleton clusters re-pointed where attached."""
+    sizes = labels.groupBy("cluster").agg(F.count("*").alias("_sz"))
+    lab = labels.join(sizes, "cluster")
+    singles = lab.where(F.col("_sz") == 1).select("doc_id")
+    clustered = lab.where(F.col("_sz") >= 2).select(
+        F.col("doc_id").alias("_nbr"), F.col("cluster").alias("_cand")
+    )
+    nbrs = pairs.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("_nbr"), "score"
+    ).unionByName(
+        pairs.select(
+            F.col("dst").alias("doc_id"), F.col("src").alias("_nbr"), "score"
+        )
+    )
+    cand = (
+        nbrs.join(singles, "doc_id", "left_semi")
+        .join(clustered, "_nbr")
+        .groupBy("doc_id", "_cand")
+        .agg(
+            F.count("*").alias("_n"),
+            F.avg("score").alias("_mean"),
+            F.sum((F.col("score") >= tau).cast("int")).alias("_n_tau"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("_n"), F.desc("_mean"), F.asc("_cand")
+    )
+    ranked = cand.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_mean2", F.lead("_mean").over(w)
+    )
+    attach = (
+        ranked.where(F.col("_rn") == 1)
+        .where(
+            F.col("_mean2").isNull()
+            | (F.col("_mean") / (F.col("_mean2") + F.lit(1e-8)) >= ratio_threshold)
+        )
+        .where(
+            (F.col("_n") >= min_matching)
+            & (F.col("_mean") >= tau)
+            & (F.col("_n_tau") >= min_matching)
+        )
+        .select("doc_id", F.col("_cand").alias("_new_cluster"))
+    )
+    return (
+        labels.join(attach, "doc_id", "left")
+        .withColumn("cluster", F.coalesce("_new_cluster", F.col("cluster")))
+        .drop("_new_cluster")
+    )
+
+
+def ensemble_overlap_purity(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    purity_min: float = 0.75,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """A7/G10 ensemble mapping (reference resolver.py:2157-2230): map each
+    cluster of the SECOND labeling onto its best-overlapping cluster of the
+    FIRST, keeping only mappings whose purity (overlap / b-cluster size
+    within the joint set) and absolute overlap pass the thresholds
+    (ensemble_params, config.py:171-178).
+
+    ``labels_a``/``labels_b``: (doc_id, cluster). Returns
+    (b_cluster, a_cluster, overlap_size, purity)."""
+    joint = labels_a.withColumnsRenamed({"cluster": "_a"}).join(
+        labels_b.withColumnsRenamed({"cluster": "_b"}), "doc_id"
+    )
+    overlap = joint.groupBy("_b", "_a").agg(F.count("*").alias("overlap_size"))
+    totals = overlap.groupBy("_b").agg(F.sum("overlap_size").alias("_tot"))
+    best = (
+        overlap.join(totals, "_b")
+        .withColumn(
+            "purity", F.col("overlap_size") / F.col("_tot").cast("double")
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_b").orderBy(
+                    F.desc("overlap_size"), F.asc("_a")
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .where(
+            (F.col("purity") >= purity_min)
+            & (F.col("overlap_size") >= min_overlap)
+        )
+    )
+    return best.select(
+        F.col("_b").alias("b_cluster"),
+        F.col("_a").alias("a_cluster"),
+        "overlap_size",
+        F.round("purity", 6).alias("purity"),
     )
 
 
@@ -203,6 +396,113 @@ def number_chain_entities(
             ).otherwise(F.col(name_col)),
         )
         .drop("_n", "_i")
+    )
+
+
+def consolidate_similar_addresses(
+    members: DataFrame,
+    addr_col: str = "addr_normalized_key",
+    score_col: str = "addr_score",
+    threshold: float = 0.87,
+    blocking_cfg=None,
+    jw_chars: int = 64,
+) -> DataFrame:
+    """C1 (reference resolver.py:1644-1709): consolidate near-identical
+    address strings to one canonical form per similarity component.
+
+    Distinct keys (with frequency and completeness score) are blocked with
+    the engine's key machinery, pairs above the Jaro-Winkler threshold form
+    edges, connected components group the variants, and the component's best
+    representative (score desc, freq desc, key asc — the reference's sort)
+    replaces every member's key. Runs over DISTINCT keys only, so the heavy
+    work is proportional to unique addresses, not rows."""
+    from ..config import BlockingConfig
+    from .blocking import blocking_keys, candidate_pairs
+    from .connected_components import connected_components
+    from .scoring import make_jw_udf
+
+    blocking_cfg = blocking_cfg or BlockingConfig()
+    uniq = (
+        members.where(F.col(addr_col).isNotNull() & (F.col(addr_col) != ""))
+        .groupBy(addr_col)
+        .agg(
+            F.count("*").alias("_freq"),
+            F.max(F.coalesce(F.col(score_col), F.lit(0.0))).alias("_score"),
+        )
+        .withColumn("_aid", F.xxhash64(addr_col))
+        .localCheckpoint(eager=False)
+    )
+    pairs = candidate_pairs(
+        blocking_keys(uniq, "_aid", addr_col, cfg=blocking_cfg), blocking_cfg
+    )
+    jw = make_jw_udf(jw_chars)
+    texts = uniq.select(F.col("_aid"), F.col(addr_col).alias("_t"))
+    edges = (
+        pairs.join(texts.withColumnsRenamed({"_aid": "src", "_t": "_ta"}), "src")
+        .join(texts.withColumnsRenamed({"_aid": "dst", "_t": "_tb"}), "dst")
+        .where(jw("_ta", "_tb") >= threshold)
+        .select("src", "dst")
+    )
+    comp = connected_components(edges).withColumnsRenamed(
+        {"vertex": "_aid", "component": "_comp"}
+    )
+    grouped = uniq.join(comp, "_aid")  # only keys in some component matter
+    rep = (
+        grouped.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_comp").orderBy(
+                    F.desc("_score"), F.desc("_freq"), F.asc(addr_col)
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select("_comp", F.col(addr_col).alias("_canon_addr"))
+    )
+    remap = (
+        grouped.join(rep, "_comp")
+        .where(F.col(addr_col) != F.col("_canon_addr"))
+        .select(addr_col, "_canon_addr")
+    )
+    return (
+        members.join(remap, addr_col, "left")
+        .withColumn(addr_col, F.coalesce("_canon_addr", F.col(addr_col)))
+        .drop("_canon_addr")
+    )
+
+
+def consolidate_names_by_address(
+    members: DataFrame,
+    addr_col: str = "addr_normalized_key",
+    name_col: str = "normalized_text",
+) -> DataFrame:
+    """C2 (reference resolver.py:256-299): for every address key carrying
+    more than one distinct name, elect ONE canonical name (V11 formula) and
+    rewrite all rows of that address to it. One applyInPandas election pass
+    over only the conflicted addresses instead of the reference's per-address
+    CPU loop."""
+    from .canonical import canonical_map
+
+    multi = (
+        members.where(F.col(addr_col).isNotNull() & (F.col(addr_col) != ""))
+        .groupBy(addr_col)
+        .agg(F.countDistinct(name_col).alias("_nn"))
+        .where(F.col("_nn") > 1)
+        .select(addr_col)
+    )
+    conflicted = members.join(multi, addr_col, "left_semi")
+    elected = canonical_map(
+        conflicted.select(
+            F.xxhash64(addr_col).alias("_akey"), F.col(name_col).alias("nt")
+        ),
+        "_akey",
+        "nt",
+    ).select(F.col("cluster").alias("_akey"), F.col("canonical_text").alias("_cname"))
+    return (
+        members.withColumn("_akey", F.xxhash64(addr_col))
+        .join(elected, "_akey", "left")
+        .withColumn(name_col, F.coalesce("_cname", F.col(name_col)))
+        .drop("_akey", "_cname")
     )
 
 

@@ -44,9 +44,16 @@ def tfidf_weights(
     n_hi: int = 5,
     min_df: int = 1,
 ) -> DataFrame:
-    """L2-normalized sublinear TF-IDF weights, exploded one row per
-    (doc, shingle). Matches sklearn/cuML formula the reference uses:
-    ``w = (1 + ln tf) * (ln((1+N)/(1+df)) + 1)``, then L2 per doc.
+    """Sublinear TF-IDF weights, exploded one row per (doc, shingle-hash):
+    (doc_id, h, w_raw). Matches the sklearn/cuML formula the reference uses:
+    ``w = (1 + ln tf) * (ln((1+N)/(1+df)) + 1)``. L2 normalization happens
+    in :func:`doc_vectors` over the kept (post-top-k) entries — identical
+    result to normalize-then-prune-then-renormalize, one shuffle cheaper.
+
+    Shingles are hashed to int64 BEFORE the first shuffle: at 32 concurrent
+    tasks in one JVM the string-keyed formulation was allocation/bandwidth
+    bound and ran SLOWER with more cores (82s @8 -> 131s @32 at 129k docs);
+    long keys shuffle 8 bytes instead of pointered strings.
     """
     # N (corpus size) stays a lazy 1-row aggregate broadcast into the weight
     # expression — an eager docs.count() here fired a full scan at plan
@@ -56,35 +63,27 @@ def tfidf_weights(
     tokens = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(char_shingles(text_col, n_lo, n_hi)).alias("shingle"),
-    )
-    tf = tokens.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("shingle").agg(F.count("*").alias("df"))
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    tf = tokens.groupBy("doc_id", "h").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("h").agg(F.count("*").alias("df"))
     if min_df > 1:
         dfreq = dfreq.where(F.col("df") >= min_df)
-    w_raw = (
-        tf.join(dfreq, "shingle")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "w_raw",
-            (1.0 + F.log(F.col("tf").cast("double")))
-            * (
-                F.log(
-                    (1.0 + F.col("_n_docs").cast("double"))
-                    / (1.0 + F.col("df"))
-                )
-                + 1.0
-            ),
-        )
-    )
-    norms = w_raw.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("l2")
-    )
     return (
-        w_raw.join(norms, "doc_id")
+        tf.join(dfreq, "h")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
-            "shingle",
-            (F.col("w_raw") / F.col("l2")).alias("w"),
+            "h",
+            (
+                (1.0 + F.log(F.col("tf").cast("double")))
+                * (
+                    F.log(
+                        (1.0 + F.col("_n_docs").cast("double"))
+                        / (1.0 + F.col("df"))
+                    )
+                    + 1.0
+                )
+            ).alias("w_raw"),
         )
     )
 
@@ -93,37 +92,42 @@ def doc_vectors(
     weights: DataFrame,
     top_k: int | None = 128,
 ) -> DataFrame:
-    """Collapse the exploded weight table into one ``map<long, double>``
-    vector column per doc (shingles hashed to int64 with xxhash64).
+    """Collapse the exploded (doc_id, h, w_raw) weight table into one
+    ``map<long, float>`` vector per doc: ONE groupBy that collects the
+    entries, then a single JVM expression sorts, keeps the ``top_k``
+    highest-weight shingles (tie: hash asc) and L2-normalizes the kept set.
 
-    ``top_k`` prunes each doc to its k highest-weight shingles (then
-    re-L2-normalizes) — the scale lever that bounds per-pair dot-product cost
-    and the shuffle bytes of attaching vectors to candidate pairs. The
-    reference's ``max_features=10000`` cap (config.py:60) plays the same
-    per-corpus role; per-doc top-k is the shuffle-friendly analog.
+    The former formulation spent three extra shuffles here (norms groupBy +
+    join + per-doc window); per-doc arrays are bounded by document length so
+    the collect_list is safe at any corpus size. ``top_k`` is the scale
+    lever bounding per-pair dot cost and vector-attach shuffle bytes; the
+    reference's ``max_features=10000`` (config.py:60) plays the same role.
     """
-    w = weights.select(
-        "doc_id", F.xxhash64("shingle").alias("h"), "w"
+    k = 1 << 30 if top_k is None else top_k
+    arr = F.expr(
+        "slice(array_sort(_entries, (a, b) -> CASE WHEN a.w > b.w THEN -1 "
+        "WHEN a.w < b.w THEN 1 WHEN a.h < b.h THEN -1 WHEN a.h > b.h THEN 1 "
+        f"ELSE 0 END), 1, {k})"
     )
-    if top_k is not None:
-        from pyspark.sql import Window
-
-        rn = F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("h"))
-        )
-        w = w.withColumn("rn", rn).where(F.col("rn") <= top_k).drop("rn")
-        norm = w.groupBy("doc_id").agg(
-            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l2")
-        )
-        w = w.join(norm, "doc_id").select(
-            "doc_id", "h", (F.col("w") / F.col("l2")).alias("w")
-        )
     # float32 weights: halves the per-pair shuffle bytes of attaching
     # vectors to candidate pairs; cosine is computed in double downstream.
-    return w.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("h", F.col("w").cast("float").alias("w")))
-        ).alias("vec")
+    vec = F.expr(
+        "map_from_entries(transform(_kept, e -> struct(e.h AS h, "
+        "cast(e.w / _l2 AS float) AS w)))"
+    )
+    return (
+        weights.groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("w_raw").alias("w"), F.col("h").alias("h"))
+            ).alias("_entries")
+        )
+        .withColumn("_kept", arr)
+        .withColumn(
+            "_l2",
+            F.expr("sqrt(aggregate(_kept, 0D, (acc, x) -> acc + x.w * x.w))"),
+        )
+        .select("doc_id", vec.alias("vec"))
     )
 
 

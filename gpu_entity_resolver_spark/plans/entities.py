@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 
 import pandas as pd
@@ -252,6 +253,22 @@ class EntityResolver:
         prep = self._prepare(sdf, entity_col, address_col).localCheckpoint(
             eager=False
         )
+        # C1 consolidate similar address strings + C2 consolidate names per
+        # address — both run on every training pass in the reference
+        # (resolver.py:1573-1576, 1644-1709, 256-299)
+        if cfg.clustering.consolidate_addresses:
+            from ..operators.hygiene import consolidate_similar_addresses
+
+            prep = consolidate_similar_addresses(
+                prep,
+                threshold=cfg.clustering.addr_match_threshold,
+                blocking_cfg=cfg.blocking,
+            )
+        if cfg.clustering.consolidate_names:
+            from ..operators.hygiene import consolidate_names_by_address
+
+            prep = consolidate_names_by_address(prep)
+        prep = prep.localCheckpoint(eager=False)
         # one row per distinct (name, addr) for scoring; rows map back after
         ent = (
             prep.select(
@@ -259,32 +276,50 @@ class EntityResolver:
                     "norm_text"
                 ),
                 "normalized_text",
+                "addr_normalized_key",
                 "addr_state",
             )
             .withColumn("doc_id", F.xxhash64("norm_text"))
             .dropDuplicates(["doc_id"])
             .localCheckpoint(eager=False)
         )
+        from ..operators.hygiene import (
+            consolidate_identical_entities,
+            merge_similar_clusters,
+            number_chain_entities,
+            split_by_street_number_range,
+            split_clusters_by,
+        )
+        from ..operators.validate import (
+            enrich_addresses,
+            state_compatible,
+            validate_reassign,
+        )
+
+        ccfg = cfg.clustering
         scfg = _entity_scoring_config(cfg)
+        # short entity names: the phonetic key family earns its keep here
+        # (V2; useless on long web documents)
+        bcfg = dataclasses.replace(cfg.blocking, use_phonetic_keys=True)
         pairs = candidate_pairs(
-            blocking_keys(ent, "doc_id", "norm_text", cfg=cfg.blocking),
-            cfg.blocking,
+            blocking_keys(ent, "doc_id", "norm_text", cfg=bcfg), bcfg
         )
         scored = score_pairs(pairs, ent, "doc_id", "norm_text", scfg)
         # C4 state-compatibility gate (reference resolver.py:2653-2678):
-        # different non-null states never merge.
+        # different non-null states never merge (unless configured neighbors).
         st = ent.select("doc_id", "addr_state")
         scored = (
             scored.join(st.withColumnsRenamed({"doc_id": "src", "addr_state": "st_a"}), "src")
             .join(st.withColumnsRenamed({"doc_id": "dst", "addr_state": "st_b"}), "dst")
             .where(
-                (F.col("st_a") == "") | (F.col("st_b") == "")
-                | (F.col("st_a") == F.col("st_b"))
+                state_compatible(
+                    F.col("st_a"), F.col("st_b"), ccfg.allow_neighboring_states
+                )
             )
         )
         edges = scored.where(F.col("score") >= self.entity_threshold).select(
             "src", "dst", "score"
-        )
+        ).localCheckpoint(eager=False)
         labels = connected_components(edges)
         members = (
             ent.join(
@@ -295,18 +330,89 @@ class EntityResolver:
             .withColumn("final_cluster", F.coalesce("final_cluster", "doc_id"))
             .localCheckpoint(eager=False)
         )
+        # C3 validate membership + reassign (reference resolver.py:2334-2651)
+        if ccfg.validate_membership:
+            members = validate_reassign(
+                members,
+                id_col="doc_id",
+                cluster_col="final_cluster",
+                name_col="normalized_text",
+                addr_col="addr_normalized_key",
+                state_col="addr_state",
+                name_threshold=ccfg.name_match_threshold,
+                addr_threshold=ccfg.addr_match_threshold,
+                allow_neighboring_states=ccfg.allow_neighboring_states,
+                blocking_cfg=bcfg,
+            )
+        else:
+            members = members.withColumn(
+                "membership_status", F.lit("kept")
+            ).withColumn("reassign_score", F.lit(1.0))
+        # C5/G9 sampled-member merge with the J3 name∩addr gate (off by
+        # default; reference resolver.py:542-700)
+        if ccfg.merge_similar:
+            canon0 = canonical_map(
+                members.select("final_cluster", F.col("norm_text").alias("nt")),
+                "final_cluster",
+                "nt",
+            ).withColumnRenamed("cluster", "final_cluster")
+            addr0 = members.groupBy("final_cluster").agg(
+                F.max_by("addr_normalized_key", "doc_id").alias("canonical_address")
+            )
+            members = merge_similar_clusters(
+                members.withColumnRenamed("final_cluster", "cluster"),
+                canon0.withColumnRenamed("final_cluster", "cluster"),
+                cfg,
+                "cluster",
+                "norm_text",
+                canon_addr=addr0.withColumnRenamed("final_cluster", "cluster"),
+            ).withColumnRenamed("cluster", "final_cluster")
+        # C6: the same entity key never stays in two clusters
+        if ccfg.consolidate_identical:
+            members = consolidate_identical_entities(
+                members, "norm_text", "final_cluster"
+            )
+        members = members.localCheckpoint(eager=False)
+        # per-doc cluster_probability analog: mean incident kept-edge score
+        incident = (
+            edges.select(F.col("src").alias("doc_id"), "score")
+            .unionByName(edges.select(F.col("dst").alias("doc_id"), "score"))
+            .groupBy("doc_id")
+            .agg(F.avg("score").alias("_edge_prob"))
+        )
         rows = prep.withColumn(
             "doc_id",
             F.xxhash64(
                 F.concat_ws(" ", "normalized_text", "addr_normalized_key")
             ),
-        ).join(members.select("doc_id", "final_cluster"), "doc_id")
-        # C7 street-number-range split (reference resolver.py:862-888)
-        from ..operators.hygiene import (
-            number_chain_entities,
-            split_by_street_number_range,
-        )
-
+        ).join(
+            members.select(
+                "doc_id", "final_cluster", "membership_status", "reassign_score"
+            ),
+            "doc_id",
+        ).join(incident, "doc_id", "left").withColumn(
+            # edge-less docs default to 1.0: they are either exact-duplicate
+            # collapses (merged by byte equality — full certainty) or true
+            # singletons (whose confidence uses the noise formula instead)
+            "_row_prob",
+            F.when(
+                F.col("membership_status").isin("reassigned", "rescued"),
+                F.col("reassign_score"),
+            ).otherwise(F.coalesce("_edge_prob", F.lit(1.0))),
+        ).drop("_edge_prob")
+        # C7 refine (reference resolver.py:784-899): address enrichment,
+        # then state split, then street-number-range split
+        if ccfg.enrich_addresses:
+            rows = enrich_addresses(rows, "final_cluster")
+        else:
+            rows = rows.withColumn("address_was_enriched", F.lit(False))
+        # state split ignores empty states (cuDF groupby drops nulls —
+        # reference resolver.py:850-860 semantics)
+        rows = split_clusters_by(
+            rows.withColumn("_st", F.expr("nullif(addr_state, '')")),
+            "_st",
+            "final_cluster",
+        ).drop("_st")
         rows = split_by_street_number_range(rows).localCheckpoint(eager=False)
         # canonical name per cluster: V11 election over normalized names.
         # Must run AFTER the street-number-range split — the split mints new
@@ -372,34 +478,77 @@ class EntityResolver:
             .withColumn(
                 "name_similarity", jw("normalized_text", F.col("_canon_norm"))
             )
+            # address_confidence term (reference resolver.py:1104-1108):
+            # similarity of the row's address key to the cluster's canonical
+            .withColumn(
+                "address_confidence",
+                jw("addr_normalized_key", F.coalesce("canonical_address", F.lit(""))),
+            )
             .drop("_canon_norm")
+            .localCheckpoint(eager=False)
         )
+        # cohesion = 1 - std(name_similarity) per cluster (reference
+        # resolver.py:1113-1120); single-member clusters have no variation
+        cohesion = out.groupBy("final_cluster").agg(
+            F.coalesce(F.stddev_samp("name_similarity"), F.lit(0.0)).alias("_nv")
+        ).withColumn(
+            "cohesion_score",
+            F.least(F.greatest(1.0 - F.col("_nv"), F.lit(0.0)), F.lit(1.0)),
+        ).drop("_nv")
+        out = out.join(cohesion, "final_cluster")
+        # C10 full confidence formula (reference resolver.py:1086-1173,
+        # weights config.py:223-229)
         c = cfg.confidence
         size_factor = F.least(
-            F.log(F.col("cluster_size").cast("double") + 1.0) / F.lit(3.5),
+            F.log1p(F.col("cluster_size").cast("double")) / F.lit(math.log1p(10.0)),
             F.lit(1.0),
         )
-        conf = (
-            (c.name_similarity_weight + c.cohesion_weight) * F.col("name_similarity")
+        base = (
+            c.avg_cluster_prob_weight * F.col("_row_prob")
+            + c.name_similarity_weight * F.col("name_similarity")
+            + c.address_confidence_weight * F.col("address_confidence")
+            + c.cohesion_weight * F.col("cohesion_score")
             + c.cluster_size_weight * size_factor
-            + (c.avg_cluster_prob_weight + c.address_confidence_weight)
-            * F.lit(0.9)
+        )
+        # change magnitude vs the ORIGINAL entity string (resolver.py:1146-1160)
+        change = 1.0 - jw(F.lower(F.col(entity_col)), F.lower(F.col("canonical_name")))
+        out = out.withColumn("_change", change)
+        # penalties: x0.9 drastic rename, x0.95 enriched address, x0.85 tiny
+        # cluster with a large rename
+        base = F.when(F.col("_change") > 0.5, base * 0.9).otherwise(base)
+        base = F.when(F.col("address_was_enriched"), base * 0.95).otherwise(base)
+        base = F.when(
+            (F.col("cluster_size") <= 2) & (F.col("_change") > 0.7), base * 0.85
+        ).otherwise(base)
+        conf = F.when(
+            F.col("cluster_size") == 1, 0.5 * F.col("name_similarity")
+        ).otherwise(base)
+        out = out.withColumn(
+            "confidence_score",
+            F.least(F.greatest(conf, F.lit(0.0)), F.lit(1.0)),
+        ).withColumn("confidence_category", confidence_bin(F.col("confidence_score")))
+        # C11 review reasons (reference resolver.py:1199-1227)
+        reasons = F.array_compact(
+            F.array(
+                F.when(
+                    F.col("confidence_score") < c.review_confidence_threshold,
+                    F.lit("low_confidence"),
+                ),
+                F.when(F.col("_change") > 0.7, F.lit("drastic_change")),
+                F.when(
+                    (F.col("cluster_size") == 1) & (F.col("_change") > 0.01),
+                    F.lit("single_member_change"),
+                ),
+                F.when(
+                    F.col("address_was_enriched")
+                    & (F.col("confidence_score") < 0.8),
+                    F.lit("enriched_low_conf"),
+                ),
+            )
         )
         out = (
-            out.withColumn(
-                "confidence_score",
-                F.when(F.col("cluster_size") == 1, 0.5 * F.col("name_similarity") + 0.5)
-                .otherwise(F.least(conf, F.lit(1.0))),
-            )
-            .withColumn("confidence_category", confidence_bin(F.col("confidence_score")))
-            .withColumn(
-                "needs_review",
-                F.col("confidence_score") < c.review_confidence_threshold,
-            )
-            .withColumn(
-                "review_reason",
-                F.when(F.col("needs_review"), "low_confidence").otherwise(""),
-            )
-            .drop("doc_id")
+            out.withColumn("needs_review", F.size(reasons) > 0)
+            .withColumn("review_reason", F.array_join(reasons, ","))
+            .drop("doc_id", "_change", "_row_prob", "reassign_score")
         )
         return out

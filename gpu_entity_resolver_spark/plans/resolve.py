@@ -65,6 +65,14 @@ def resolve_documents(
     cfg = cfg or ResolverConfig()
     ckpt = CheckpointManager(spark, checkpoint_dir or cfg.runtime.checkpoint_dir)
 
+    # Parallelism guard: stage 1 (extraction UDF + normalization) is narrow,
+    # so it inherits the INPUT partitioning. A handful of big input files
+    # would serialize the most expensive per-row work; never run it below
+    # cluster parallelism.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target * 2)
+
     prepared = ckpt.stage("01_normalized", lambda: prepare_documents(docs, cfg))
 
     # Host keys are deliberately NOT in the default key set: MinHash bands +
@@ -80,13 +88,13 @@ def resolve_documents(
         ),
     )
 
-    edges = ckpt.stage(
-        "03_edges",
-        lambda: edges_above_threshold(
-            score_pairs(pairs, prepared, "doc_id", "norm_text", cfg.scoring),
-            cfg.scoring.edge_threshold,
-        ),
+    # full scored pair table is the checkpointed stage (edges are a cheap
+    # filter of it; G8 attachment needs the sub-threshold scores too)
+    scored = ckpt.stage(
+        "03_scored",
+        lambda: score_pairs(pairs, prepared, "doc_id", "norm_text", cfg.scoring),
     )
+    edges = edges_above_threshold(scored, cfg.scoring.edge_threshold)
 
     def build_clusters() -> DataFrame:
         labels = connected_components(
@@ -102,12 +110,24 @@ def resolve_documents(
 
     def build_hygiene() -> DataFrame:
         from ..operators.hygiene import (
+            attach_singletons,
             consolidate_identical_entities,
             merge_similar_clusters,
             split_clusters_by,
         )
 
         out = clustered
+        if cfg.clustering.attach_noise:
+            # G8: rescue singletons with a strong unambiguous sub-threshold
+            # signal (reference utils.py:473-545) — reuses the stage-03
+            # scores, no extra scoring pass
+            out = attach_singletons(
+                scored.select("src", "dst", "score"),
+                out,
+                tau=cfg.clustering.attachment_similarity_threshold,
+                min_matching=cfg.clustering.attachment_min_matching,
+                ratio_threshold=cfg.clustering.attachment_ratio_threshold,
+            )
         if cfg.clustering.merge_similar:
             canon0 = canonical_map(out, "cluster", "norm_text")
             out = merge_similar_clusters(out, canon0, cfg)
@@ -135,9 +155,20 @@ def resolve_documents(
             .join(incident, "doc_id", "left")
             .withColumn("avg_pair_score", F.coalesce("avg_pair_score", F.lit(1.0)))
             .withColumn("name_similarity", jw("norm_text", "canonical_text"))
+            .localCheckpoint(eager=False)
         )
+        # cohesion = 1 - std of member name similarities (reference
+        # resolver.py:1113-1120) — a real dispersion measure, not an alias
+        # of name_similarity
+        cohesion = out.groupBy("cluster").agg(
+            F.coalesce(F.stddev_samp("name_similarity"), F.lit(0.0)).alias("_nv")
+        ).withColumn(
+            "cohesion_score",
+            F.least(F.greatest(1.0 - F.col("_nv"), F.lit(0.0)), F.lit(1.0)),
+        ).drop("_nv")
+        out = out.join(cohesion, "cluster")
         # C10-shaped confidence: weighted sum of name similarity, cluster
-        # probability, log-size factor and cohesion-by-similarity
+        # probability, log-size factor and cohesion
         # (reference resolver.py:1086-1173; address terms are absent for the
         # web-page payload, weights renormalized accordingly).
         c = cfg.confidence
@@ -154,7 +185,7 @@ def resolve_documents(
             c.name_similarity_weight * F.col("name_similarity")
             + c.avg_cluster_prob_weight * F.col("avg_pair_score")
             + c.cluster_size_weight * size_factor
-            + c.cohesion_weight * F.col("name_similarity")
+            + c.cohesion_weight * F.col("cohesion_score")
         ) / F.lit(wsum)
         # Noise analog: singletons get 0.5 x name_similarity floor like the
         # reference's noise rule (resolver.py:1154-1160).

@@ -206,6 +206,13 @@ def generate_documents(
         F.explode(F.sequence(F.lit(0), F.col("n_variants") - 1)).alias("variant"),
     )
 
+    # The base corpus is ONE small parquet file -> one scan partition; every
+    # explode above is narrow, so without this the row generation (and any
+    # downstream narrow stage, e.g. the extraction UDF) would run as a
+    # single task regardless of cluster size. A real 100-TB input arrives in
+    # thousands of files; this repartition emulates that scan parallelism.
+    exploded = exploded.repartition(spark.sparkContext.defaultParallelism * 2)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {

@@ -135,7 +135,7 @@ def test_checkpoint_resume(spark, corpus):
         # committed stages are consulted, lineage rows exist per stage
         lineage = spark.read.parquet(os.path.join(workdir, "_lineage"))
         stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
-        assert {"01_normalized", "02_pairs", "03_edges"} <= stages
+        assert {"01_normalized", "02_pairs", "03_scored"} <= stages
         # identical output from the resumed run
         rows2 = {
             (r["doc_id"], r["cluster"])
