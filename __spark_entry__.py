@@ -588,6 +588,42 @@ def _q_ensemble_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensemble_overlap_purity(a, b)
 
 
+def _q_ensemble_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G10 full arbitration (reference resolver.py:2157-2278): noise docs are
+    # rescued through the purity mapping; pure-noise B groups mint new
+    # clusters. Minted xxhash64 ids are canonicalized to the group's min
+    # doc id for the DuckDB compare (membership-identical).
+    from gpu_entity_resolver_spark.operators.hygiene import ensemble_labels
+
+    o = _read(spark, sf_dir, "orders")
+    a_noise = F.col("o_orderkey") % 31 == 0
+    a = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.when(a_noise, F.col("o_orderkey"))
+        .otherwise(F.col("o_custkey") % 50)
+        .cast("long")
+        .alias("cluster"),
+    )
+    # even-keyed noise docs form pure-noise B groups (-> minted); odd-keyed
+    # noise docs land in mapped B clusters (-> rescued)
+    b = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.when(
+            a_noise & (F.col("o_orderkey") % 2 == 0),
+            1000 + F.col("o_custkey") % 20,
+        )
+        .otherwise(F.col("o_custkey") % 150)
+        .cast("long")
+        .alias("cluster"),
+    )
+    out = ensemble_labels(a, b)
+    canon = F.when(
+        F.col("label_source") == 2,
+        F.min("doc_id").over(Window.partitionBy("cluster")),
+    ).otherwise(F.col("cluster"))
+    return out.select("doc_id", canon.alias("cluster"), "label_source")
+
+
 def _q_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P5 phonetic key (JVM soundex path; metaphone UDF covered in tests)
     from gpu_entity_resolver_spark.functions.phonetic import soundex_key
@@ -747,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consolidate_names": _q_consolidate_names,
         "attach_singletons": _q_attach_singletons,
         "ensemble_purity": _q_ensemble_purity,
+        "ensemble_labels": _q_ensemble_labels,
         # rows-only (no oracle_sql entry):
         "consolidate_identical": _q_consolidate_identical,
         "split_clusters": _q_split_clusters,
@@ -1002,6 +1039,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT b AS b_cluster, a AS a_cluster, overlap_size, "
             "round(purity, 6) AS purity FROM best "
             "WHERE rn = 1 AND purity >= 0.75 AND overlap_size >= 2"
+        ),
+        # G10 full arbitration replica: mapping + rescue + minting; minted
+        # ids canonicalized to min(doc_id) of the pure-noise B group
+        "ensemble_labels": (
+            "WITH o AS (SELECT o_orderkey AS doc_id, o_custkey AS ck, "
+            "(o_orderkey % 31 = 0) AS anoise FROM orders), "
+            "a AS (SELECT doc_id, CAST(CASE WHEN anoise THEN doc_id "
+            "ELSE ck % 50 END AS BIGINT) AS a FROM o), "
+            "b AS (SELECT doc_id, CAST(CASE WHEN anoise AND doc_id % 2 = 0 "
+            "THEN 1000 + ck % 20 ELSE ck % 150 END AS BIGINT) AS b FROM o), "
+            "sza AS (SELECT a, count(*) AS na FROM a GROUP BY 1), "
+            "szb AS (SELECT b, count(*) AS nb FROM b GROUP BY 1), "
+            "j AS (SELECT a.doc_id, a.a, (sza.na = 1) AS a_noise, b.b, "
+            "(szb.nb = 1) AS b_noise, szb.nb "
+            "FROM a JOIN b USING (doc_id) JOIN sza USING (a) JOIN szb USING (b)), "
+            "ov AS (SELECT b, a, count(*) AS osz FROM j "
+            "WHERE NOT a_noise AND NOT b_noise GROUP BY 1, 2), "
+            "tot AS (SELECT b, sum(osz) AS tot FROM ov GROUP BY 1), "
+            "mp AS (SELECT b, a AS mapped FROM ("
+            "SELECT ov.b, ov.a, ov.osz, ov.osz / CAST(t.tot AS DOUBLE) AS pur, "
+            "row_number() OVER (PARTITION BY ov.b ORDER BY ov.osz DESC, ov.a ASC) AS rn "
+            "FROM ov JOIN tot t USING (b)) WHERE rn = 1 AND pur >= 0.75 AND osz >= 2), "
+            "fin AS (SELECT j.doc_id, j.a, j.b, "
+            "CASE WHEN NOT j.a_noise THEN 0 "
+            "WHEN m.mapped IS NOT NULL THEN 1 "
+            "WHEN NOT j.b_noise AND j.nb >= 4 THEN 2 "
+            "ELSE 0 END AS label_source, m.mapped "
+            "FROM j LEFT JOIN mp m USING (b)) "
+            "SELECT doc_id, "
+            "CAST(CASE WHEN label_source = 1 THEN mapped "
+            "WHEN label_source = 2 THEN min(CASE WHEN label_source = 2 "
+            "THEN doc_id END) OVER (PARTITION BY b) "
+            "ELSE a END AS BIGINT) AS cluster, label_source FROM fin"
         ),
         # exact all-pairs ground truth for the banded-multiprobe LSH query:
         # at cos >= 0.95 the per-pair LSH miss probability is ~1e-6, and on

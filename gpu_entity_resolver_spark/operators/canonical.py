@@ -70,17 +70,30 @@ def canonical_map(
     cluster_col: str = "cluster",
     text_col: str = "norm_text",
 ) -> DataFrame:
-    """(cluster, canonical_text, cluster_size) — one applyInPandas pass."""
+    """(cluster, canonical_text, cluster_size).
 
-    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "cluster": [pdf[cluster_col].iloc[0]],
-                "canonical_text": [elect_canonical(pdf[text_col])],
-                "cluster_size": [len(pdf)],
-            }
-        )
+    One groupBy collects each cluster's member texts, then a ``mapInPandas``
+    pass elects canonicals over THOUSANDS of clusters per Arrow batch. The
+    former per-cluster ``applyInPandas`` paid the Arrow/pandas round-trip
+    once per cluster (28k groups = 28k tiny batches) and anti-scaled with
+    cores; clusters are small post-resolution, so the collected name lists
+    are bounded."""
+    grouped = members.groupBy(F.col(cluster_col).alias("cluster")).agg(
+        F.collect_list(F.col(text_col)).alias("_names")
+    )
 
-    return members.groupBy(cluster_col).applyInPandas(
-        per_cluster, "cluster long, canonical_text string, cluster_size long"
+    def per_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "cluster": pdf["cluster"],
+                    "canonical_text": [
+                        elect_canonical(pd.Series(ns)) for ns in pdf["_names"]
+                    ],
+                    "cluster_size": [len(ns) for ns in pdf["_names"]],
+                }
+            )
+
+    return grouped.mapInPandas(
+        per_batch, "cluster long, canonical_text string, cluster_size long"
     )

@@ -323,6 +323,68 @@ def ensemble_overlap_purity(
     )
 
 
+def ensemble_labels(
+    labels_a: DataFrame,
+    labels_b: DataFrame,
+    purity_min: float = 0.75,
+    min_overlap: int = 2,
+    min_new_cluster_size: int = 4,
+) -> DataFrame:
+    """G10 two-strategy ensemble arbitration (reference
+    resolver.py:2157-2278): labeling A is the precise core, labeling B the
+    high-recall rescue. The noise analog of the reference's ``-1`` label is
+    a SINGLETON cluster (connected components gives every doc a label).
+
+    - core docs keep their A cluster (label_source = 0);
+    - an A-noise doc whose B cluster maps onto an A cluster with purity >=
+      ``purity_min`` and overlap >= ``min_overlap`` adopts the mapped A
+      cluster (label_source = 1);
+    - A-noise docs in an UNMAPPED non-noise B cluster of size >=
+      ``min_new_cluster_size`` mint a fresh cluster together — id =
+      xxhash64('ens', b_cluster), the same shuffle-free minting used by the
+      split operators (label_source = 2).
+
+    Returns (doc_id, cluster, label_source)."""
+    sz_a = labels_a.groupBy("cluster").agg(F.count("*").alias("_na"))
+    a = labels_a.join(sz_a, "cluster").select(
+        "doc_id", F.col("cluster").alias("_a"), (F.col("_na") == 1).alias("_a_noise")
+    )
+    sz_b = labels_b.groupBy("cluster").agg(F.count("*").alias("_nb"))
+    b = labels_b.join(sz_b, "cluster").select(
+        "doc_id",
+        F.col("cluster").alias("_b"),
+        (F.col("_nb") == 1).alias("_b_noise"),
+        "_nb",
+    )
+    # mapping computed over docs clustered by BOTH strategies
+    both_a = a.where(~F.col("_a_noise")).select("doc_id", F.col("_a").alias("cluster"))
+    both_b = b.where(~F.col("_b_noise")).select("doc_id", F.col("_b").alias("cluster"))
+    mapping = ensemble_overlap_purity(
+        both_a, both_b, purity_min=purity_min, min_overlap=min_overlap
+    ).select(F.col("b_cluster").alias("_b"), F.col("a_cluster").alias("_mapped"))
+    joint = a.join(b, "doc_id").join(mapping, "_b", "left")
+    minted = F.xxhash64(F.lit("ens"), F.col("_b"))
+    can_mint = (
+        ~F.col("_b_noise")
+        & F.col("_mapped").isNull()
+        & (F.col("_nb") >= min_new_cluster_size)
+    )
+    return joint.select(
+        "doc_id",
+        F.when(~F.col("_a_noise"), F.col("_a"))
+        .when(F.col("_mapped").isNotNull(), F.col("_mapped"))
+        .when(can_mint, minted)
+        .otherwise(F.col("_a"))
+        .alias("cluster"),
+        F.when(~F.col("_a_noise"), F.lit(0))
+        .when(F.col("_mapped").isNotNull(), F.lit(1))
+        .when(can_mint, F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("label_source"),
+    )
+
+
 def split_by_street_number_range(
     members: DataFrame,
     cluster_col: str = "final_cluster",

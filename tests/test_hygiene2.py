@@ -155,3 +155,35 @@ def test_ensemble_overlap_purity(spark):
     assert rows[10].a_cluster == 1 and rows[10].purity == 1.0
     assert rows[20].a_cluster == 1 and abs(rows[20].purity - 0.75) < 1e-9
     assert 30 not in rows  # min_overlap filter
+
+
+def test_ensemble_labels_rescue_and_mint(spark):
+    """G10 arbitration: A-noise docs are rescued via the purity mapping;
+    unmapped B-only groups of sufficient size mint a new cluster."""
+    from gpu_entity_resolver_spark.operators.hygiene import ensemble_labels
+
+    # A: core cluster 1 = docs 1-3; everything else noise (singletons)
+    a = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 6), (7, 7), (8, 8),
+         (9, 9), (10, 10), (11, 11)],
+        "doc_id long, cluster long",
+    )
+    # B: cluster 100 overlaps A cluster 1 purely (docs 1,2,3) and also
+    # contains noise doc 4 -> doc 4 is RESCUED into A cluster 1.
+    # B cluster 200 = docs 5-8, unmapped, size 4 -> MINTED as new cluster.
+    # B cluster 300 = docs 9-10, unmapped but too small -> stays noise.
+    b = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100),
+         (5, 200), (6, 200), (7, 200), (8, 200),
+         (9, 300), (10, 300), (11, 11)],
+        "doc_id long, cluster long",
+    )
+    got = {r.doc_id: r for r in ensemble_labels(a, b).collect()}
+    for d in (1, 2, 3):
+        assert got[d].cluster == 1 and got[d].label_source == 0
+    assert got[4].cluster == 1 and got[4].label_source == 1      # rescued
+    minted = {got[d].cluster for d in (5, 6, 7, 8)}
+    assert len(minted) == 1 and got[5].label_source == 2          # minted
+    assert minted.isdisjoint({1, 4, 5, 6, 7, 8, 9, 10, 11})
+    assert got[9].cluster == 9 and got[9].label_source == 0       # too small
+    assert got[11].cluster == 11 and got[11].label_source == 0    # b-noise
