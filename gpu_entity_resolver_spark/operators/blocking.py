@@ -25,7 +25,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import BlockingConfig
-from .shingles import char_shingles
 
 
 def minhash_signature(text_col: str, cfg: BlockingConfig) -> Column:

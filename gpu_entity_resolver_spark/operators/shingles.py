@@ -13,6 +13,11 @@ or ``doc_id``; Catalyst + AQE handle partial aggregation and skew.
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +41,72 @@ def char_shingles(col_name: str, n_lo: int, n_hi: int) -> Column:
     return F.expr("concat(" + ", ".join(parts) + ")")
 
 
+def _doc_term_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_lo: int,
+    n_hi: int,
+) -> DataFrame:
+    """Per-document shingle term counts (doc_id, h, tf) computed MAP-SIDE in
+    numpy over Arrow batches.
+
+    The former JVM formulation exploded ~290 substring shingles per doc
+    (UTF8String allocation each) and shuffled the exploded table into a
+    groupBy — at 32 local cores the allocation/DRAM traffic made the stage
+    run barely faster than at 8. Here each byte n-gram becomes an int64 code
+    via a vectorized sliding-window dot product and ``np.unique`` yields the
+    counts, all inside the map task: no string churn, no tf shuffle at all.
+    Gram codes pack the n bytes plus a width tag (hash semantics are
+    internal to the scorer — nothing downstream needs xxhash parity)."""
+    widths = list(range(n_lo, n_hi + 1))
+    mults = {n: (256 ** np.arange(n, dtype=np.int64)) for n in widths}
+    tags = {n: np.int64(n) << np.int64(48) for n in widths}
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id: list[np.ndarray] = []
+            out_h: list[np.ndarray] = []
+            out_tf: list[np.ndarray] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = np.frombuffer(
+                    ("" if text is None else str(text)).encode("utf-8"),
+                    dtype=np.uint8,
+                )
+                codes_parts = []
+                for n in widths:
+                    if len(b) >= n:
+                        win = np.lib.stride_tricks.sliding_window_view(b, n)
+                        codes_parts.append(
+                            win.astype(np.int64) @ mults[n] + tags[n]
+                        )
+                    else:
+                        # whole-(short-)string fallback, mirroring
+                        # char_shingles: one deterministic code per width
+                        digest = hashlib.md5(bytes(b) + bytes([n])).digest()
+                        codes_parts.append(
+                            np.array(
+                                [int.from_bytes(digest[:6], "little") + tags[n]],
+                                dtype=np.int64,
+                            )
+                        )
+                uniq, counts = np.unique(np.concatenate(codes_parts), return_counts=True)
+                out_id.append(np.full(len(uniq), int(doc_id), dtype=np.int64))
+                out_h.append(uniq)
+                out_tf.append(counts.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_id) if out_id else np.array([], dtype=np.int64),
+                    "h": np.concatenate(out_h) if out_h else np.array([], dtype=np.int64),
+                    "tf": np.concatenate(out_tf) if out_tf else np.array([], dtype=np.int64),
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(per_batch, "doc_id long, h long, tf long")
+
+
 def tfidf_weights(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -50,21 +121,16 @@ def tfidf_weights(
     in :func:`doc_vectors` over the kept (post-top-k) entries — identical
     result to normalize-then-prune-then-renormalize, one shuffle cheaper.
 
-    Shingles are hashed to int64 BEFORE the first shuffle: at 32 concurrent
-    tasks in one JVM the string-keyed formulation was allocation/bandwidth
-    bound and ran SLOWER with more cores (82s @8 -> 131s @32 at 129k docs);
-    long keys shuffle 8 bytes instead of pointered strings.
+    Per-doc term counts come from :func:`_doc_term_counts` (numpy, map-side,
+    no tf shuffle); only the doc-frequency aggregation, the IDF join and the
+    per-doc vector build shuffle — all on int64 keys.
     """
     # N (corpus size) stays a lazy 1-row aggregate broadcast into the weight
     # expression — an eager docs.count() here fired a full scan at plan
     # CONSTRUCTION time on every score_pairs call (including merge/assign
     # paths); as part of the plan it runs once, inside the same job.
     n_docs = docs.agg(F.count("*").alias("_n_docs"))
-    tokens = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(char_shingles(text_col, n_lo, n_hi)).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
-    tf = tokens.groupBy("doc_id", "h").agg(F.count("*").alias("tf"))
+    tf = _doc_term_counts(docs, id_col, text_col, n_lo, n_hi)
     dfreq = tf.groupBy("h").agg(F.count("*").alias("df"))
     if min_df > 1:
         dfreq = dfreq.where(F.col("df") >= min_df)
