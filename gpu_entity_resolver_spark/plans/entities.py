@@ -95,6 +95,7 @@ class EntityResolver:
                 "final_cluster",
                 F.col("canonical_name"),
                 F.col("canonical_address"),
+                F.col("canonical_state"),
             ).dropDuplicates(["final_cluster"])
         ).localCheckpoint(eager=True)
         self._is_fitted = True
@@ -144,11 +145,54 @@ class EntityResolver:
                 "cluster",
                 "left",
             )
+            .withColumn("is_new_entity", F.coalesce("is_new_entity", F.lit(True)))
+        )
+        # C13 assignment validation (reference _validate_assignments,
+        # resolver.py:2280-2332): evict matches whose address similarity or
+        # state conflicts with the assigned cluster's canonical profile.
+        from ..operators.scoring import make_jw_udf
+        from ..operators.validate import state_compatible
+
+        ccfg = self.config.clustering
+        jw = make_jw_udf(64)
+        nonempty = lambda c: F.col(c).isNotNull() & (F.col(c) != "")  # noqa: E731
+        addr_fail = (
+            nonempty("addr_normalized_key")
+            & nonempty("canonical_address")
+            & (
+                jw("addr_normalized_key", F.lower(F.col("canonical_address")))
+                < ccfg.addr_match_threshold
+            )
+        )
+        if "canonical_state" in out.columns:
+            state_fail = ~state_compatible(
+                F.col("addr_state"),
+                F.col("canonical_state"),
+                ccfg.allow_neighboring_states,
+            )
+        else:  # models saved before canonical_state existed
+            state_fail = F.lit(False)
+        evict = ~F.col("is_new_entity") & (addr_fail | state_fail)
+        out = (
+            out.withColumn("is_new_entity", F.col("is_new_entity") | evict)
+            .withColumn(
+                "cluster",
+                F.when(evict, F.lit(None).cast("long")).otherwise(F.col("cluster")),
+            )
+            .withColumn(
+                "match_score",
+                F.when(evict, F.lit(0.0)).otherwise(F.col("match_score")),
+            )
+            .withColumn(
+                "canonical_name",
+                F.when(evict, F.lit(None).cast("string")).otherwise(
+                    F.col("canonical_name")
+                ),
+            )
             .withColumn(
                 "canonical_name",
                 F.coalesce("canonical_name", F.initcap("normalized_text")),
             )
-            .withColumn("is_new_entity", F.coalesce("is_new_entity", F.lit(True)))
             .drop("doc_id")
         )
         return out.toPandas() if was_pandas else out

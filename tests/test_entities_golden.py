@@ -100,6 +100,20 @@ def test_transform_and_save_load(resolver, resolved, spark):
         )
 
 
+def test_transform_assignment_validation(resolver, resolved):
+    """C13 assignment validation (reference resolver.py:2280-2332): a name
+    match whose address/state conflicts with the assigned cluster's
+    canonical profile is evicted and becomes a new entity."""
+    new = pd.DataFrame(
+        {
+            "company_name": ["Crystal Clean"],
+            "address": ["77 Desert Rd, Phoenix AZ"],
+        }
+    )
+    out = resolver.transform(new).set_index("company_name")
+    assert bool(out.loc["Crystal Clean", "is_new_entity"])
+
+
 def test_chain_entity_numbering(spark):
     """C8: same company at multiple far-apart addresses becomes a numbered
     chain (' - N'), reference resolver.py:943-1001."""
