@@ -59,6 +59,13 @@ def _doc_term_counts(
     counts, all inside the map task: no string churn, no tf shuffle at all.
     Gram codes pack the n bytes plus a width tag (hash semantics are
     internal to the scorer — nothing downstream needs xxhash parity)."""
+    # Codes pack n bytes base-256 below a width tag at bit 48; width 7+ would
+    # overflow into the tag and silently collide terms across widths.
+    if n_hi > 6:
+        raise ValueError(
+            f"shingle width n_hi={n_hi} exceeds 6; gram codes only hold 6 "
+            "bytes below the width tag at bit 48"
+        )
     widths = list(range(n_lo, n_hi + 1))
     mults = {n: (256 ** np.arange(n, dtype=np.int64)) for n in widths}
     tags = {n: np.int64(n) << np.int64(48) for n in widths}

@@ -237,12 +237,16 @@ def validate_reassign(
         )
         .withColumn(
             cluster_col,
-            # no valid home: evicted members mint a fresh singleton cluster
-            # (the noise analog of the reference's -1), singletons stay put
+            # No valid home: evicted members mint a fresh singleton cluster
+            # (the noise analog of the reference's -1), singletons stay put.
+            # The mint must be collision-free against the min-member-doc_id
+            # label space: an evicted doc that IS the min-id member of its
+            # old component would otherwise "mint" the very id it was
+            # evicted from and silently remain inside it downstream.
             F.coalesce(
                 "_best_cluster",
                 F.when(F.col("_is_singleton"), F.col(cluster_col)).otherwise(
-                    F.col("_mid")
+                    F.xxhash64(F.lit("evict"), F.col("_mid"))
                 ),
             ),
         )
@@ -268,7 +272,7 @@ def enrich_addresses(
     Expects the entity-path address columns (addr_street_number,
     addr_street_name, addr_city, addr_state, addr_zip, addr_normalized_key,
     addr_score)."""
-    from ..functions.normalize import address_key
+    from ..functions.normalize import address_key, address_score
 
     freq = members.groupBy(cluster_col, "addr_normalized_key").agg(
         F.count("*").alias("_freq")
@@ -337,6 +341,18 @@ def enrich_addresses(
                     F.col("addr_city"), F.col("addr_state"), F.col("addr_zip"),
                 ),
             ).otherwise(F.col("addr_normalized_key")),
+        )
+        # Completeness score must track the enriched components, or the V12
+        # best-address election downstream undervalues enriched rows.
+        .withColumn(
+            "addr_score",
+            F.when(
+                flag,
+                address_score(
+                    F.col("addr_street_number"), F.col("addr_street_name"),
+                    F.col("addr_city"), F.col("addr_state"), F.col("addr_zip"),
+                ),
+            ).otherwise(F.col("addr_score")),
         )
         .drop("_c_num", "_c_street", "_c_city", "_c_state", "_c_zip")
     )

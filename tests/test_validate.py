@@ -59,7 +59,26 @@ def test_evicted_without_home_becomes_singleton(spark):
     out = validate_reassign(spark.createDataFrame(rows, SCHEMA))
     got = {r.doc_id: r for r in out.collect()}
     assert got[3].membership_status == "evicted"
-    assert got[3].cluster == 3  # fresh singleton = own doc id
+    # fresh minted cluster id, collision-free against every doc-id-derived
+    # label (cluster labels are min member doc_ids, so reusing the raw
+    # doc_id could equal the very cluster the doc was evicted from)
+    assert got[3].cluster not in {r.doc_id for r in out.collect()}
+    assert got[3].cluster not in {100}
+
+
+def test_evicted_min_id_member_leaves_its_cluster(spark):
+    # doc 1 is the MIN-id member of cluster 1 (min-member labeling): when
+    # evicted with no home, its minted cluster must NOT equal cluster 1.
+    rows = [
+        (1, 1, "totally different name", "99 other rd", "tx"),
+        (2, 1, "acme manufacturing", "12 main st", "il"),
+        (3, 1, "acme manufacturing", "12 main st", "il"),
+    ]
+    out = validate_reassign(spark.createDataFrame(rows, SCHEMA))
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].membership_status == "evicted"
+    assert got[1].cluster != 1  # would silently stay in its old cluster
+    assert got[2].cluster == 1 and got[3].cluster == 1
 
 
 def test_cluster_profiles_shape(spark):
