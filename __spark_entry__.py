@@ -755,6 +755,61 @@ def _q_resolve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_resolve_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G5+G10 flagship variant: second labeling from the mutual-rank kNN
+    # graph (reference SNN recall path, utils.py:400-469) arbitrated by
+    # overlap/purity (resolver.py:2157-2278); label_source in {0,1,2}.
+    # The webgen corpus has an empty score gap (false <= .44, true >= .65),
+    # so BORDERLINE docs are planted deterministically: half of one doc's
+    # words + half of another's, which scores in the sub-threshold recall
+    # band against its source family — exactly what the reference's SNN
+    # pass exists to rescue.
+    from pyspark.sql import Window
+
+    from gpu_entity_resolver_spark.config import ResolverConfig
+    from gpu_entity_resolver_spark.plans.resolve import resolve_documents
+    from gpu_entity_resolver_spark.sources.webgen import (
+        INPUT_COLUMNS,
+        generate_documents,
+    )
+
+    cfg = ResolverConfig()
+    cfg.clustering.ensemble_mutual_rank = True
+    docs = generate_documents(spark, sf_dir).select(*INPUT_COLUMNS)
+    base = (
+        docs.orderBy("url")
+        .limit(40)
+        .withColumn("_rn", F.row_number().over(Window.orderBy("url")))
+        .withColumn("_w", F.split(F.col("text"), r"\s+"))
+        .localCheckpoint(eager=False)
+    )
+    donor = base.select(
+        F.pmod(F.col("_rn") + 6, F.lit(40)).alias("_rn2"), F.col("_w").alias("_dw")
+    )
+    planted = (
+        base.join(donor, F.pmod(F.col("_rn"), F.lit(40)) == F.col("_rn2"))
+        .withColumn("_k", (F.size("_w") / 2).cast("int"))
+        .select(
+            F.concat(F.lit("planted://"), F.col("_rn").cast("string")).alias("url"),
+            F.col("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_w"), F.lit(1), F.col("_k")),
+                F.slice(
+                    F.col("_dw"), F.lit(1),
+                    F.greatest(F.size("_w") - F.col("_k"), F.lit(1)),
+                ),
+            ).alias("text"),
+            F.col("lang"),
+        )
+    )
+    corpus = docs.unionByName(planted.select(*INPUT_COLUMNS))
+    return resolve_documents(spark, corpus, cfg).select(
+        "url", "cluster", "cluster_size", "label_source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_text": _q_normalize,
@@ -797,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "assign_new": _q_assign_new,
         "resolve_pipeline": _q_resolve_pipeline,
+        "resolve_ensemble": _q_resolve_ensemble,
     }
 
 
@@ -1087,5 +1143,55 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS src, b.vec_id AS dst "
             "FROM corpus a, corpus b WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.e, b.e) >= 0.95"
+        ),
+        # Exact ground truth for the MinHash-LSH near-dup pipeline
+        # (operators/dedup.py:minhash_dedup): the full TF-IDF formula is
+        # replayed in SQL — char-4-gram codes byte-packed exactly like
+        # shingles._doc_term_counts (ASCII corpus; width tag at bit 48),
+        # sublinear tf * smoothed idf, top-64 per doc by (weight desc, code
+        # asc), float32-rounded L2 normalization — then exact ALL-pairs
+        # cosine at the 0.85 threshold and connected components via a
+        # recursive transitive closure. LSH recall makes the approximate
+        # and exact component sets identical on this corpus (every
+        # same-group pair shares >= 1 surviving band key).
+        "minhash_dedup": (
+            "WITH RECURSIVE "
+            "norm AS (SELECT doc_id, lower(coalesce(text, '')) AS nt "
+            "FROM documents), "
+            "nn AS (SELECT count(*) AS n FROM norm), "
+            "grams AS (SELECT doc_id, "
+            "ord(substring(nt, CAST(i AS INT), 1)) "
+            "+ 256 * ord(substring(nt, CAST(i AS INT) + 1, 1)) "
+            "+ 65536 * ord(substring(nt, CAST(i AS INT) + 2, 1)) "
+            "+ 16777216 * ord(substring(nt, CAST(i AS INT) + 3, 1)) "
+            "+ (CAST(4 AS BIGINT) << 48) AS h "
+            "FROM (SELECT doc_id, nt, unnest(range(1, length(nt) - 2)) AS i "
+            "FROM norm)), "
+            "tf AS (SELECT doc_id, h, count(*) AS tf FROM grams GROUP BY 1, 2), "
+            "dfq AS (SELECT h, count(*) AS df FROM tf GROUP BY 1), "
+            "w AS (SELECT t.doc_id, t.h, "
+            "(1.0 + ln(t.tf)) * (ln((1.0 + nn.n) / (1.0 + d.df)) + 1.0) AS w_raw "
+            "FROM tf t JOIN dfq d USING (h) CROSS JOIN nn), "
+            "kept AS (SELECT doc_id, h, w_raw FROM ("
+            "SELECT doc_id, h, w_raw, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY w_raw DESC, h ASC) AS rn FROM w) "
+            "WHERE rn <= 64), "
+            "vecs AS (SELECT doc_id, h, CAST(w_raw / sqrt(sum(w_raw * w_raw) "
+            "OVER (PARTITION BY doc_id)) AS FLOAT) AS wn FROM kept), "
+            "prs AS (SELECT a.doc_id AS src, b.doc_id AS dst, "
+            "sum(CAST(a.wn AS DOUBLE) * CAST(b.wn AS DOUBLE)) AS cos "
+            "FROM vecs a JOIN vecs b ON a.h = b.h AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2), "
+            "sym AS (SELECT src, dst FROM prs WHERE cos >= 0.85 "
+            "UNION ALL SELECT dst, src FROM prs WHERE cos >= 0.85), "
+            "reach(a, b) AS (SELECT src, dst FROM sym "
+            "UNION SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src), "
+            "labels AS (SELECT a AS doc_id, least(a, min(b)) AS dup_group "
+            "FROM reach GROUP BY a), "
+            "sizes AS (SELECT dup_group, CAST(count(*) AS BIGINT) AS "
+            "group_size FROM labels GROUP BY 1) "
+            "SELECT l.doc_id, l.dup_group, s.group_size "
+            "FROM labels l JOIN sizes s USING (dup_group) "
+            "WHERE s.group_size >= 2"
         ),
     }

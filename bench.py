@@ -5,6 +5,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Headline = the flagship resolve pipeline (docs/sec is the metric that maps
 to the north rule's pages/sec) plus representative operator queries.
 
+Repeats: ``--runs N`` (or SPARK_GRAFT_RUNS) times each query inside one
+session and reports the MIN per query (plus the per-run array under
+"runs") — the sandbox shares its host and single-shot numbers carry
+documented ~2x noisy-neighbor waves; min-of-runs is the reproducible
+number. Default 1 run keeps the driver's single-shot contract.
+
 Scaling evidence (north rule: >=0.8 efficiency from N to 4N executors,
 sandbox substitute = two parallelism levels): run twice, e.g.
     SPARK_GRAFT_CPUS=8  python bench.py
@@ -28,6 +34,9 @@ def main() -> None:
     # Corpus amplification for the flagship pipeline (the driver's documents
     # table caps at 5000 base rows; amplification exercises real scale).
     amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "1"))
+    if "--runs" in sys.argv:
+        n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
     import __spark_entry__ as entry_mod
@@ -41,25 +50,14 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
+    runs: list[dict[str, float]] = []
 
-    # Flagship: full resolve pipeline; docs/sec headline.
     t0 = time.time()
     docs = generate_documents(spark, sf_dir, amplify=amplify).select(*INPUT_COLUMNS)
     docs = docs.localCheckpoint(eager=True)  # exclude generator cost
     n_docs = docs.count()
     gen_s = time.time() - t0
 
-    t0 = time.time()
-    resolved = resolve_documents(spark, docs)
-    n_resolved = resolved.count()
-    timings["resolve_pipeline"] = round(time.time() - t0, 3)
-    docs_per_sec = round(n_docs / timings["resolve_pipeline"], 1)
-
-    # Operator benchmarks (each timed to first materialization).
-    # SPARK_GRAFT_RESOLVE_ONLY=1 limits the run to the flagship pipeline —
-    # used for the N-vs-4N scaling measurements where only the pipeline's
-    # docs/sec matters.
     queries = entry_mod.queries()
     op_names = [] if os.environ.get("SPARK_GRAFT_RESOLVE_ONLY") else [
         "minhash_dedup",
@@ -71,29 +69,45 @@ def main() -> None:
         "simhash",
         "connected_components",
     ]
-    for name in op_names:
-        t0 = time.time()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_docs": n_docs,
-                "n_resolved": n_resolved,
-                "docs_per_sec": docs_per_sec,
-                "cpus": cpus,
-                "amplify": amplify,
-                "gen_sec": round(gen_s, 3),
-            }
-        )
-    )
+    n_resolved = 0
+    for _ in range(n_runs):
+        timings: dict[str, float] = {}
+        # Flagship: full resolve pipeline; docs/sec headline.
+        t0 = time.time()
+        resolved = resolve_documents(spark, docs)
+        n_resolved = resolved.count()
+        timings["resolve_pipeline"] = round(time.time() - t0, 3)
+        # Operator benchmarks (each timed to first materialization).
+        # SPARK_GRAFT_RESOLVE_ONLY=1 limits the run to the flagship
+        # pipeline — used for the N-vs-4N scaling measurements where only
+        # the pipeline's docs/sec matters.
+        for name in op_names:
+            t0 = time.time()
+            queries[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        runs.append(timings)
+
+    best = {k: min(r[k] for r in runs) for k in runs[0]}
+    docs_per_sec = round(n_docs / best["resolve_pipeline"], 1)
+    total = round(sum(best.values()), 3)
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": best,
+        "sf": sf,
+        "n_docs": n_docs,
+        "n_resolved": n_resolved,
+        "docs_per_sec": docs_per_sec,
+        "cpus": cpus,
+        "amplify": amplify,
+        "gen_sec": round(gen_s, 3),
+    }
+    if n_runs > 1:
+        out["n_runs"] = n_runs
+        out["runs"] = runs
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -81,6 +81,11 @@ class ScoringConfig:
     tfidf_weight: float = 0.30
     jaro_winkler_weight: float = 0.10
     levenshtein_weight: float = 0.60
+    # V2 phonetic term (Metaphone token-set Jaccard). The reference gives
+    # phonetics 15% of the stream energy (config.py:117-124) for short
+    # entity names; Metaphone of long web prose is noise, so the corpus
+    # scorer keeps it off and the entity path turns it on at 0.15.
+    phonetic_weight: float = 0.0
     # Mid-gap of the measured score distributions on the labeled fixtures
     # (strict margin 0.21: false-pair max 0.44, true-pair min 0.65 on the
     # amplified sf0.01 corpus): edge-level P=R=1.0 with margin on both sides.
@@ -103,6 +108,18 @@ class ScoringConfig:
     # (2.82M -> 0.74M). The JW stage is memory-bandwidth-bound, so survivor
     # count is the scaling lever for the whole scoring stage.
     cosine_prefilter: float = 0.35
+    # Decision-band Jaro-Winkler: JW carries only `jaro_winkler_weight /
+    # total` of the score, so a pair whose tfidf+lev partial score already
+    # decides every downstream threshold comparison doesn't need it. With
+    # band (lo, hi), JW is computed ONLY when the partial score could still
+    # flip a comparison against a threshold in [lo, hi]; out-of-band pairs
+    # report score = partial (JW treated as 0, `jw` column null). Threshold
+    # comparisons inside [lo, hi] are exactly invariant: low-skipped pairs
+    # have true score < lo, high-skipped pairs report >= hi. The default
+    # brackets every engine threshold (edge 0.55 .. merge_max 0.90); widen
+    # it if you move a threshold outside. None = always compute JW (exact
+    # scores — the entity path uses this, where JW carries 35% weight).
+    jw_decision_band: tuple[float, float] | None = (0.55, 0.90)
     # JW/Levenshtein run over a bounded "content sketch" (first+middle+last
     # sketch_chars of the normalized text) rather than a prefix truncation:
     # web corpora contain documents sharing long identical prefixes, which a
@@ -133,6 +150,16 @@ class ClusteringConfig:
     consolidate_addresses: bool = True    # C1 (entity path)
     consolidate_names: bool = True        # C2 (entity path)
     attach_noise: bool = False            # G8 — rescue singletons (optional)
+    # G5+G10: second labeling from the mutual-rank kNN graph (the
+    # reference's SNN recall path, utils.py:400-469 + resolver.py:497),
+    # ensembled with the CC labeling by overlap/purity arbitration
+    # (resolver.py:2157-2278). Off by default: the recall pass costs one
+    # extra CC over sub-threshold mutual edges.
+    ensemble_mutual_rank: bool = False
+    mutual_rank_k: int = 15               # reference n_neighbors (config.py:137)
+    # recall-path edges keep reciprocal pairs down to this score (below the
+    # precise edge_threshold; reciprocity supplies the precision)
+    ensemble_recall_threshold: float = 0.45
     # validation thresholds (reference config.py:201-207)
     name_match_threshold: float = 0.89    # name_fuzz_ratio / 100
     addr_match_threshold: float = 0.87    # address_fuzz_ratio / 100
@@ -186,3 +213,44 @@ class ResolverConfig:
     confidence: ConfidenceConfig = field(default_factory=ConfidenceConfig)
     runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
     random_seed: int = 42
+
+
+# --- JSON round-trip (S3/S4) ------------------------------------------------
+# The reference pickles its full config with the model (resolver.py:
+# 1387-1437); ours serializes the dataclass tree to JSON so a load_model-ed
+# resolver transforms with the thresholds that produced its canonical map,
+# not defaults. No pickles anywhere.
+
+def config_to_dict(cfg: ResolverConfig) -> dict:
+    import dataclasses as _dc
+
+    return _dc.asdict(cfg)
+
+
+def config_from_dict(d: dict) -> ResolverConfig:
+    """Rebuild a ResolverConfig from ``config_to_dict`` output (JSON-safe:
+    lists are coerced back to the tuple-typed fields). Unknown keys are
+    ignored so configs saved by newer versions still load."""
+    import dataclasses as _dc
+
+    def sub(cls, dd):
+        names = {f.name for f in _dc.fields(cls)}
+        return cls(**{k: v for k, v in (dd or {}).items() if k in names})
+
+    scoring = sub(ScoringConfig, d.get("scoring"))
+    if isinstance(scoring.jw_decision_band, list):
+        scoring.jw_decision_band = tuple(scoring.jw_decision_band)
+    clustering = sub(ClusteringConfig, d.get("clustering"))
+    clustering.allow_neighboring_states = tuple(
+        tuple(p) for p in (clustering.allow_neighboring_states or ())
+    )
+    return ResolverConfig(
+        replacements=dict(d.get("replacements", DEFAULT_REPLACEMENTS)),
+        suffixes_to_remove=tuple(d.get("suffixes_to_remove", DEFAULT_SUFFIXES)),
+        blocking=sub(BlockingConfig, d.get("blocking")),
+        scoring=scoring,
+        clustering=clustering,
+        confidence=sub(ConfidenceConfig, d.get("confidence")),
+        runtime=sub(RuntimeConfig, d.get("runtime")),
+        random_seed=d.get("random_seed", 42),
+    )

@@ -21,10 +21,53 @@ pairs from multiple keys are deduped downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import BlockingConfig
+
+
+# Fixed window offsets for the hot-block sort tokens. Offsets are absolute
+# (length-independent): a near-dup pair whose lengths differ by a few chars
+# still reads IDENTICAL windows wherever its text is unchanged — a
+# length-relative window (e.g. the midpoint) shifts under any length delta
+# and, over a periodic template, lands on different template text,
+# scattering the pair across the sort order (measured: 46% of planted pairs
+# separated). Log-spaced so documents of any size get covered without
+# carrying long keys.
+_SORT_OFFSETS = (0, 256, 1024, 4096)
+_SORT_SEG = 16
+
+
+def _sort_tokens(text_col: str) -> tuple[Column, Column]:
+    """Two content sort tokens for in-block sorted-neighborhood salting:
+    the same fixed-offset windows (plus the last ``_SORT_SEG`` chars of the
+    squeezed text) concatenated LEFT-TO-RIGHT (``sort_key``) and
+    RIGHT-TO-LEFT (``sort_key2``).
+
+    Lexicographic orders lose a pair as soon as the FIRST differing window
+    is reached, so a single ordering cannot keep all near-dups adjacent: an
+    edit in an early window scatters the pair even when everything after it
+    matches. With both orders, a pair differing in one region stays
+    adjacent in the order that reads that region LAST — classic multi-pass
+    sorted-neighborhood (Hernandez & Stolfo 1995), expressed as two salted
+    range partitions per hot block."""
+    squeezed = F.regexp_replace(F.col(text_col), r"\s+", "")
+    n = F.length(squeezed)
+    wins = [
+        F.substring(squeezed, off + 1, _SORT_SEG) for off in _SORT_OFFSETS
+    ]
+    last = F.substr(
+        squeezed, F.greatest(n - _SORT_SEG + 1, F.lit(1)), F.lit(_SORT_SEG)
+    )
+    fwd = F.concat_ws("|", *wins, last)
+    rev = F.concat_ws("|", last, *reversed(wins))
+    return fwd, rev
+
+
+def _sort_token(text_col: str) -> Column:
+    """Single-order token (kept for callers that build raw key tables)."""
+    return _sort_tokens(text_col)[0]
 
 
 def minhash_signature(text_col: str, cfg: BlockingConfig) -> Column:
@@ -84,16 +127,21 @@ def lsh_block_keys(
     """(doc_id, block_key) rows: one key per LSH band."""
     cfg = cfg or BlockingConfig()
     r = cfg.num_perm // cfg.bands
+    fwd, rev = _sort_tokens(text_col)
     sig = docs.select(
         F.col(id_col).alias("doc_id"),
         minhash_signature(text_col, cfg).alias("mhs"),
+        fwd.alias("sort_key"),
+        rev.alias("sort_key2"),
     )
     # Band hash = xxhash64 over the band's r minima (banding via slice).
     bands = F.expr(
         f"transform(sequence(0, {cfg.bands - 1}), "
         f"b -> concat('mh', b, ':', xxhash64(slice(mhs, b * {r} + 1, {r}), b)))"
     )
-    return sig.select("doc_id", F.explode(bands).alias("block_key"))
+    return sig.select(
+        "doc_id", F.explode(bands).alias("block_key"), "sort_key", "sort_key2"
+    )
 
 
 def sorted_neighborhood_keys(
@@ -114,10 +162,13 @@ def sorted_neighborhood_keys(
     # DBA-style prefix noise) — a second sort order, as classic sorted-
     # neighborhood uses multiple passes.
     tail = F.concat(F.lit("st:"), F.substr(squeezed, F.length(squeezed) - k + 1, F.lit(k)))
+    fwd, rev = _sort_tokens(text_col)
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.array(head, tail)).alias("block_key"),
+            fwd.alias("sort_key"),
+            rev.alias("sort_key2"),
         )
         .where(F.length("block_key") > 3)
     )
@@ -131,9 +182,13 @@ def host_keys(
     host = F.lower(
         F.regexp_extract(F.col(url_col), r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:www\.)?([^/:?#]+)", 1)
     )
+    fwd, rev = _sort_tokens(url_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.concat(F.lit("host:"), host).alias("block_key"),
+        # sort by the url text: near-dup urls of one host sort adjacent
+        fwd.alias("sort_key"),
+        rev.alias("sort_key2"),
     ).where(F.col("block_key") != "host:")
 
 
@@ -151,8 +206,12 @@ def phonetic_block_keys(
     from ..functions.phonetic import soundex_key
 
     key = F.concat(F.lit("ph:"), soundex_key(F.col(text_col), max_words))
+    fwd, rev = _sort_tokens(text_col)
     return docs.select(
-        F.col(id_col).alias("doc_id"), key.alias("block_key")
+        F.col(id_col).alias("doc_id"),
+        key.alias("block_key"),
+        fwd.alias("sort_key"),
+        rev.alias("sort_key2"),
     ).where(F.length("block_key") > 3)
 
 
@@ -161,13 +220,37 @@ def salt_blocks(
     cfg: BlockingConfig | None = None,
 ) -> DataFrame:
     """Split oversized blocks into salt groups of at most ``max_block_size``
-    members. Deterministic: the salt is xxhash64(doc_id) mod n_salts.
+    members, keeping pair cost LINEAR in block size without the silent
+    cross-salt recall hole.
 
-    This caps the within-block pair fan-out at cap^2/2 regardless of skew —
-    the explicit analog of AQE's skew-join splitting, applied before the
-    self-join so the quadratic blow-up never materializes.
+    Hot-block strategy (SURVEY §4's salt x neighbor-salt / sorted-
+    neighborhood prescription):
+
+    - With a ``sort_key`` column (content sketch emitted by every key
+      family): members of a hot block are ORDERED by (sort_key, doc_id) and
+      cut into consecutive rank ranges of ``max_block_size``; every member
+      also joins its NEXT range. Any pair within ``max_block_size`` sort
+      positions is therefore always generated (same or adjacent range), so
+      near-duplicates — whose content sketches sort adjacent — survive
+      regardless of block size, while pair fan-out stays O(s * cap).
+      The former hash-salting generated pairs only WITHIN a random salt
+      group: two true duplicates in a 5000-member template block had a
+      ~(1 - 1/n_salts) miss chance per key, and because the salt ignored
+      the key, misses were perfectly correlated across a pair's keys.
+    - Without ``sort_key`` (caller-supplied raw key tables): hash salting,
+      but keyed on (doc_id, block_key) so misses are INDEPENDENT across a
+      pair's keys, and each member also joins the next salt — per-key meet
+      probability 3/n_salts instead of 1/n_salts, compounded across keys.
+
+    A block so large that even one rank range per task is too big (10^8-row
+    boilerplate keys at true web scale) would serialize the window sort into
+    one task; cap that upstream by dropping keys above a df ceiling (they
+    carry no discriminative signal) — see hygiene.assign_new_documents's
+    hot-key cap for the same pattern.
     """
     cfg = cfg or BlockingConfig()
+    cap = cfg.max_block_size
+    sort_cols = [c for c in ("sort_key", "sort_key2") if c in blocks.columns]
     # Materialization barrier: `blocks` (whose plan contains the MinHash
     # signatures) is referenced by both the size aggregation and the join —
     # without it the signature computation runs twice.
@@ -175,26 +258,66 @@ def salt_blocks(
     counts = blocks.groupBy("block_key").agg(F.count("*").alias("block_n"))
     # Blocks of size 1 produce no pairs — drop them before the join.
     useful = counts.where(F.col("block_n") >= 2)
-    salted = (
-        blocks.join(useful, "block_key")
-        .withColumn(
-            "n_salts",
-            F.ceil(F.col("block_n") / F.lit(cfg.max_block_size)).cast("int"),
-        )
-        .withColumn(
-            "salt",
-            F.when(F.col("n_salts") <= 1, F.lit(0)).otherwise(
-                F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int")
-            ),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws("#", "block_key", F.col("salt").cast("string")).alias(
-                "block_key"
-            ),
-        )
+    joined = blocks.join(useful, "block_key").withColumn(
+        "n_salts", F.ceil(F.col("block_n") / F.lit(cap)).cast("int")
     )
-    return salted
+    cold = joined.where(F.col("n_salts") <= 1).select("doc_id", "block_key")
+    hot = joined.where(F.col("n_salts") >= 2)
+
+    def ranged(sort_col: str, tag: str) -> DataFrame:
+        rn = F.row_number().over(
+            Window.partitionBy("block_key").orderBy(sort_col, "doc_id")
+        )
+        grp = F.floor((rn - F.lit(1)) / F.lit(cap)).cast("int")
+        with_g = hot.withColumn("_g", grp)
+        neighbor = F.least(F.col("_g") + 1, F.col("n_salts") - 1)
+        return (
+            with_g.select(
+                "doc_id",
+                "block_key",
+                F.explode(
+                    F.array_distinct(F.array(F.col("_g"), neighbor))
+                ).alias("_salt"),
+            )
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    "#",
+                    "block_key",
+                    F.concat(F.lit(tag), F.col("_salt").cast("string")),
+                ).alias("block_key"),
+            )
+        )
+
+    if sort_cols:
+        parts = [ranged(c, tag) for c, tag in zip(sort_cols, ("F", "R"))]
+        salted_hot = parts[0]
+        for p in parts[1:]:
+            salted_hot = salted_hot.unionByName(p)
+    else:
+        with_g = hot.withColumn(
+            "_g",
+            F.pmod(F.xxhash64("doc_id", "block_key"), F.col("n_salts")).cast(
+                "int"
+            ),
+        )
+        neighbor = F.pmod(F.col("_g") + 1, F.col("n_salts"))
+        salted_hot = (
+            with_g.select(
+                "doc_id",
+                "block_key",
+                F.explode(
+                    F.array_distinct(F.array(F.col("_g"), neighbor))
+                ).alias("_salt"),
+            )
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    "#", "block_key", F.col("_salt").cast("string")
+                ).alias("block_key"),
+            )
+        )
+    return cold.unionByName(salted_hot)
 
 
 def candidate_pairs(

@@ -218,7 +218,15 @@ def attach_singletons(
     to an existing cluster when its scored in-block neighbors give a strong,
     UNAMBIGUOUS signal:
 
-    - candidate clusters ranked by neighbor count (most frequent first);
+    - candidate clusters ranked by neighbor count (most frequent first) —
+      deliberately matching the reference, which orders candidates by
+      FREQUENCY (``value_counts`` in utils.py:509-515), not by mean
+      similarity. The ratio test below therefore compares the top-frequency
+      candidate's mean against the runner-up-BY-FREQUENCY's mean, exactly
+      as the reference's best/second arrays are frequency-ordered
+      (utils.py:517-531). A cluster with fewer but individually stronger
+      neighbors can lose the ranking — that is the reference's semantics,
+      kept on purpose;
     - ratio test: mean similarity to the best candidate must be >=
       ``ratio_threshold`` x the mean to the second-best (ambiguous pulls
       are skipped);
@@ -596,8 +604,13 @@ def check_unique_canonical_names(canon: DataFrame) -> int:
 
 # --- report / review export (S5, S6) ---------------------------------------
 
-def generate_report(resolved: DataFrame) -> dict:
-    """S5: summary statistics dict (reference resolver.py:1289-1385)."""
+def generate_report(resolved: DataFrame, top_n_clusters: int = 10) -> dict:
+    """S5: summary statistics dict (reference resolver.py:1289-1385),
+    including the reference's distribution stats (cluster-size describe,
+    resolver.py:1311-1314) and the ``top_n_clusters`` largest clusters.
+
+    All aggregates run over the full table distributed; only scalar rows
+    and the bounded top-N listing are collected."""
     row = resolved.agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("cluster").alias("n_clusters"),
@@ -622,6 +635,31 @@ def generate_report(resolved: DataFrame) -> dict:
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    # Per-cluster size table (one row per cluster, not per member) feeds
+    # both the describe() analog and the largest-cluster listing.
+    csizes = resolved.groupBy("cluster").agg(
+        F.count("*").alias("size"),
+        F.first("canonical_text").alias("canonical_text"),
+    )
+    dist = csizes.agg(
+        F.round(F.avg("size"), 4).alias("mean"),
+        F.round(F.coalesce(F.stddev_samp("size"), F.lit(0.0)), 4).alias("std"),
+        F.min("size").alias("min"),
+        F.percentile_approx("size", 0.25).alias("p25"),
+        F.percentile_approx("size", 0.5).alias("p50"),
+        F.percentile_approx("size", 0.75).alias("p75"),
+        F.max("size").alias("max"),
+    ).first()
+    largest = [
+        {
+            "cluster": r["cluster"],
+            "size": r["size"],
+            "canonical_text": r["canonical_text"],
+        }
+        for r in csizes.orderBy(F.desc("size"), F.asc("cluster"))
+        .limit(top_n_clusters)
+        .collect()
+    ]
     return {
         "n_docs": row["n_docs"],
         "n_clusters": row["n_clusters"],
@@ -631,6 +669,16 @@ def generate_report(resolved: DataFrame) -> dict:
         "max_cluster_size": row["max_cluster_size"],
         "confidence_categories": cat,
         "review_reasons": reasons,
+        "cluster_size_stats": {
+            "mean": dist["mean"],
+            "std": dist["std"],
+            "min": dist["min"],
+            "p25": dist["p25"],
+            "p50": dist["p50"],
+            "p75": dist["p75"],
+            "max": dist["max"],
+        },
+        "largest_clusters": largest,
     }
 
 

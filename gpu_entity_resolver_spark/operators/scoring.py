@@ -20,7 +20,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..config import ScoringConfig
 from ..functions.simfns import jaro_winkler
-from .shingles import pair_cosine, tfidf_weights
+from .shingles import doc_vector_table, pair_cosine_vecs
 
 
 def make_jw_udf(max_chars: int = 64):
@@ -56,28 +56,48 @@ def score_pairs(
     text_col: str = "norm_text",
     cfg: ScoringConfig | None = None,
 ) -> DataFrame:
-    """Score candidate pairs; returns (src, dst, tfidf_cos, jw, lev_ratio,
-    score). ``pairs`` has (src, dst); ``docs`` has (id_col, text_col).
+    """Score candidate pairs; returns (src, dst, tfidf_cos, lev_ratio, jw,
+    ph_sim, score). ``pairs`` has (src, dst); ``docs`` has (id_col, text_col).
 
     TF-IDF cosine sees the FULL normalized text (linear cost, pruned
-    vectors); JW/Levenshtein see the content sketch (bounded quadratic)."""
+    vectors); JW/Levenshtein see the content sketch (bounded quadratic).
+    When ``cfg.phonetic_weight > 0`` a fourth signal joins the blend: the
+    V2 phonetic term (reference resolver.py:353-369, stream energy 15% per
+    config.py:117-124) re-expressed as Metaphone-token-set Jaccard — the
+    relational equivalent of the reference's binary CountVectorizer overlap
+    on Metaphone text (SURVEY.md §2.7 V2). Metaphone encoding runs once per
+    DOC (Arrow-batched UDF); the per-PAIR Jaccard is JVM array set-ops."""
     cfg = cfg or ScoringConfig()
     seg = cfg.sketch_chars
-    texts = docs.select(
+    use_ph = cfg.phonetic_weight > 0
+    text_cols = [
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("full_t"),
         content_sketch(F.col(text_col), seg).alias("t"),
-    )
+    ]
+    if use_ph:
+        from ..functions.phonetic import metaphone_udf
 
-    # Phase 1 — TF-IDF cosine for ALL candidate pairs (linear, JVM-only).
-    weights = tfidf_weights(
+        text_cols.append(
+            F.array_distinct(
+                F.filter(
+                    F.split(metaphone_udf(F.col(text_col)), " "),
+                    lambda x: x != "",
+                )
+            ).alias("ph")
+        )
+    texts = docs.select(*text_cols)
+
+    # Phase 1 — TF-IDF cosine for ALL candidate pairs. Doc vectors build
+    # map-side against a broadcast IDF table (shingles.doc_vector_table);
+    # the dot product is a JVM fold over the two attached vectors.
+    vecs = doc_vector_table(
         texts, id_col="doc_id", text_col="full_t",
-        n_lo=cfg.tfidf_ngram_lo, n_hi=cfg.tfidf_ngram_hi, min_df=cfg.tfidf_min_df,
+        n_lo=cfg.tfidf_ngram_lo, n_hi=cfg.tfidf_ngram_hi,
+        min_df=cfg.tfidf_min_df, top_k=cfg.tfidf_top_k,
     )
     # Barrier: cos feeds both the survivors branch and the pruned branch.
-    cos = pair_cosine(pairs, weights, top_k=cfg.tfidf_top_k).localCheckpoint(
-        eager=False
-    )
+    cos = pair_cosine_vecs(pairs, vecs).localCheckpoint(eager=False)
 
     # Phase 2 — JW + Levenshtein only for pairs passing the cosine
     # prefilter. This is the reference's centroid-prefilter pattern
@@ -87,12 +107,23 @@ def score_pairs(
     # kernels is the dominant scoring cost lever. Pairs below the
     # prefilter keep score = tfidf share only (by construction < tau).
     survivors = cos.where(F.col("tfidf_cos") >= cfg.cosine_prefilter)
-    sketches = texts.select("doc_id", "t")
+    side_cols = ["doc_id", "t"] + (["ph"] if use_ph else [])
+    sketches = texts.select(*side_cols)
+    ren_a = {"doc_id": "src", "t": "t_a"} | ({"ph": "ph_a"} if use_ph else {})
+    ren_b = {"doc_id": "dst", "t": "t_b"} | ({"ph": "ph_b"} if use_ph else {})
     with_texts = (
         survivors
-        .join(sketches.withColumnsRenamed({"doc_id": "src", "t": "t_a"}), "src")
-        .join(sketches.withColumnsRenamed({"doc_id": "dst", "t": "t_b"}), "dst")
+        .join(sketches.withColumnsRenamed(ren_a), "src")
+        .join(sketches.withColumnsRenamed(ren_b), "dst")
     )
+    if use_ph:
+        uni = F.size(F.array_union("ph_a", "ph_b"))
+        ph_sim = F.when(
+            uni > 0,
+            F.size(F.array_intersect("ph_a", "ph_b")).cast("double") / uni,
+        ).otherwise(F.lit(0.0))
+    else:
+        ph_sim = F.lit(None).cast("double")
     max_len = F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1))
     # levenshtein(threshold=...) returns -1 when distance exceeds the
     # threshold. Sketches are <= 3*seg chars so that can't happen today, but
@@ -104,24 +135,81 @@ def score_pairs(
         max_len.cast("int"),
     )
     jw_udf = make_jw_udf(max_chars=3 * seg)
-    scored = with_texts.select(
-        "src",
-        "dst",
-        "tfidf_cos",
-        (1.0 - lev / max_len).alias("lev_ratio"),
-        jw_udf("t_a", "t_b").alias("jw"),
+    total_w = (
+        cfg.tfidf_weight
+        + cfg.jaro_winkler_weight
+        + cfg.levenshtein_weight
+        + cfg.phonetic_weight
     )
-
-    total_w = cfg.tfidf_weight + cfg.jaro_winkler_weight + cfg.levenshtein_weight
-    full = scored.withColumn(
-        "score",
-        (
-            cfg.tfidf_weight * F.col("tfidf_cos")
-            + cfg.jaro_winkler_weight * F.col("jw")
-            + cfg.levenshtein_weight * F.col("lev_ratio")
+    ph_term = cfg.phonetic_weight * F.coalesce(F.col("ph_sim"), F.lit(0.0))
+    if cfg.jw_decision_band is None:
+        scored = with_texts.select(
+            "src",
+            "dst",
+            "tfidf_cos",
+            (1.0 - lev / max_len).alias("lev_ratio"),
+            jw_udf("t_a", "t_b").alias("jw"),
+            ph_sim.alias("ph_sim"),
         )
-        / F.lit(total_w),
-    )
+        full = scored.withColumn(
+            "score",
+            (
+                cfg.tfidf_weight * F.col("tfidf_cos")
+                + cfg.jaro_winkler_weight * F.col("jw")
+                + cfg.levenshtein_weight * F.col("lev_ratio")
+                + ph_term
+            )
+            / F.lit(total_w),
+        )
+    else:
+        # Phase 2b — decision-band JW. The partial (tfidf + lev) score is
+        # pure JVM; the memory-bandwidth-bound numpy JW kernel runs only for
+        # pairs it could still swing across a threshold in [lo, hi]. Every
+        # threshold comparison inside the band is exactly invariant (see
+        # ScoringConfig.jw_decision_band); out-of-band pairs report
+        # score = partial with jw null, the same convention as the cosine
+        # prefilter branch below.
+        lo, hi = cfg.jw_decision_band
+        jw_share = cfg.jaro_winkler_weight / total_w
+        base = with_texts.select(
+            "src",
+            "dst",
+            "tfidf_cos",
+            (1.0 - lev / max_len).alias("lev_ratio"),
+            ph_sim.alias("ph_sim"),
+            "t_a",
+            "t_b",
+        ).withColumn(
+            "_partial",
+            (
+                cfg.tfidf_weight * F.col("tfidf_cos")
+                + cfg.levenshtein_weight * F.col("lev_ratio")
+                + ph_term
+            )
+            / F.lit(total_w),
+        # barrier: both branches read the joined+lev'd table exactly once
+        ).localCheckpoint(eager=False)
+        need_jw = (F.col("_partial") + F.lit(jw_share) >= F.lit(lo)) & (
+            F.col("_partial") < F.lit(hi)
+        )
+        out_cols = ["src", "dst", "tfidf_cos", "lev_ratio", "jw", "ph_sim", "score"]
+        banded = (
+            base.where(need_jw)
+            .withColumn("jw", jw_udf("t_a", "t_b"))
+            .withColumn(
+                "score",
+                F.col("_partial")
+                + F.lit(jw_share) * F.col("jw"),
+            )
+            .select(*out_cols)
+        )
+        rest = (
+            base.where(~need_jw)
+            .withColumn("jw", F.lit(None).cast("double"))
+            .withColumn("score", F.col("_partial"))
+            .select(*out_cols)
+        )
+        full = banded.unionByName(rest)
     pruned = (
         cos.where(F.col("tfidf_cos") < cfg.cosine_prefilter)
         .select(
@@ -130,6 +218,7 @@ def score_pairs(
             "tfidf_cos",
             F.lit(None).cast("double").alias("lev_ratio"),
             F.lit(None).cast("double").alias("jw"),
+            F.lit(None).cast("double").alias("ph_sim"),
             (cfg.tfidf_weight * F.col("tfidf_cos") / F.lit(total_w)).alias("score"),
         )
     )

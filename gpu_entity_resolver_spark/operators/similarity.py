@@ -13,6 +13,8 @@ Two strategies, per the build brief:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,8 +64,8 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -74,8 +76,25 @@ def ivf_topk(
     independent sample — stable across parallelism). Corpus rows index to
     their single nearest centroid; queries probe ``n_probe`` nearest
     centroid lists. Returns (query_id, neighbor_id, rank, cosine).
+
+    ``n_centroids`` defaults to the standard IVF sizing
+    ``max(16, ceil(sqrt(N)))`` (one cheap corpus count) so the per-probe
+    list length stays ~sqrt(N) at any corpus size — a fixed centroid count
+    would scan a constant FRACTION of the corpus per query, which stops
+    being "approximate" at 10^9 rows. ``n_probe`` defaults to
+    ``max(4, ceil(sqrt(n_centroids)))`` — the probed share then shrinks as
+    N grows (0.6% of lists at 10^9 rows) while staying generous on small
+    corpora. Pass explicit values to pin both (e.g. in latency-critical
+    serving paths). Like any IVF, recall is strong when true neighbors are
+    genuinely close (near-dup retrieval — they land in the probed lists)
+    and degrades toward n_probe/n_centroids on data with no neighborhood
+    structure; raise n_probe for such workloads.
     """
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
+    if n_centroids is None:
+        n_centroids = max(16, math.isqrt(max(c.count(), 1) - 1) + 1)
+    if n_probe is None:
+        n_probe = max(4, math.isqrt(max(n_centroids - 1, 0)) + 1)
     cents = (
         c.withColumn("hk", F.xxhash64("nid", F.lit(seed)))
         .orderBy("hk")

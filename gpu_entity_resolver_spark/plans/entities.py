@@ -49,7 +49,13 @@ def _entity_scoring_config(cfg: ResolverConfig) -> ScoringConfig:
         tfidf_weight=0.40,
         jaro_winkler_weight=0.35,
         levenshtein_weight=0.25,
+        # V2: phonetic stream at the reference's 15% energy
+        # (config.py:117-124) — misspellings beyond shingle reach
+        # ("jonsen"/"johnson") still score
+        phonetic_weight=0.15,
         cosine_prefilter=0.15,
+        # JW carries 35% of the entity score — always compute it exactly
+        jw_decision_band=None,
     )
 
 
@@ -198,8 +204,15 @@ class EntityResolver:
         return out.toPandas() if was_pandas else out
 
     def save_model(self, path: str) -> None:
-        """Persist fitted state as tables + JSON (no pickles; SURVEY.md S3)."""
+        """Persist fitted state as tables + JSON (no pickles; SURVEY.md S3).
+
+        The FULL config tree is serialized (reference save_model pickles
+        config + encoders, resolver.py:1387-1437) so ``load_model`` +
+        ``transform`` runs with the blocking/scoring/validation thresholds
+        that produced the canonical map, not defaults."""
         assert self._is_fitted
+        from ..config import config_to_dict
+
         os.makedirs(path, exist_ok=True)
         self.canonical_map_.write.mode("overwrite").parquet(
             os.path.join(path, "canonical_map")
@@ -209,11 +222,14 @@ class EntityResolver:
                 {
                     "entity_threshold": self.entity_threshold,
                     "edge_threshold": self.config.scoring.edge_threshold,
+                    "config": config_to_dict(self.config),
                 },
                 f,
             )
 
     def load_model(self, path: str) -> "EntityResolver":
+        from ..config import config_from_dict
+
         spark = self._session()
         self.canonical_map_ = spark.read.parquet(
             os.path.join(path, "canonical_map")
@@ -221,6 +237,8 @@ class EntityResolver:
         with open(os.path.join(path, "config.json")) as f:
             meta = json.load(f)
         self.entity_threshold = meta["entity_threshold"]
+        if "config" in meta:  # models saved before the full round-trip keep defaults
+            self.config = config_from_dict(meta["config"])
         self._is_fitted = True
         return self
 

@@ -63,6 +63,25 @@ def resolve_documents(
      review_reason).
     """
     cfg = cfg or ResolverConfig()
+    if (
+        cfg.clustering.ensemble_mutual_rank
+        and cfg.scoring.jw_decision_band is not None
+        and cfg.scoring.jw_decision_band[0] > cfg.clustering.ensemble_recall_threshold
+    ):
+        # the recall path thresholds scores BELOW the default band floor;
+        # widen the band so that comparison stays exactly invariant
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            scoring=dataclasses.replace(
+                cfg.scoring,
+                jw_decision_band=(
+                    cfg.clustering.ensemble_recall_threshold,
+                    cfg.scoring.jw_decision_band[1],
+                ),
+            ),
+        )
     ckpt = CheckpointManager(spark, checkpoint_dir or cfg.runtime.checkpoint_dir)
 
     # Parallelism guard: stage 1 (extraction UDF + normalization) is narrow,
@@ -112,11 +131,37 @@ def resolve_documents(
         from ..operators.hygiene import (
             attach_singletons,
             consolidate_identical_entities,
+            ensemble_labels,
             merge_similar_clusters,
             split_clusters_by,
         )
 
         out = clustered
+        if cfg.clustering.ensemble_mutual_rank:
+            # G5+G10: labeling B = CC over the mutual-rank kNN graph built
+            # from sub-threshold scored pairs (reference SNN recall path,
+            # utils.py:400-469); arbitration keeps the precise CC labels as
+            # the core and rescues/mints from B (resolver.py:2157-2278).
+            from ..operators.knn_graph import mutual_rank_edges
+
+            recall_edges = mutual_rank_edges(
+                scored.where(
+                    F.col("score") >= cfg.clustering.ensemble_recall_threshold
+                ).select("src", "dst", "score"),
+                k=cfg.clustering.mutual_rank_k,
+            )
+            labels_b = connected_components(
+                recall_edges, max_iterations=cfg.clustering.cc_max_iterations
+            )
+            b_full = out.select("doc_id").join(
+                labels_b.withColumnsRenamed(
+                    {"vertex": "doc_id", "component": "cluster"}
+                ),
+                "doc_id",
+                "left",
+            ).withColumn("cluster", F.coalesce("cluster", "doc_id"))
+            ens = ensemble_labels(out.select("doc_id", "cluster"), b_full)
+            out = out.drop("cluster").join(ens, "doc_id")
         if cfg.clustering.attach_noise:
             # G8: rescue singletons with a strong unambiguous sub-threshold
             # signal (reference utils.py:473-545) — reuses the stage-03
@@ -215,6 +260,11 @@ def resolve_documents(
                 ),
             )
         )
+        label_source = (
+            F.col("label_source")
+            if "label_source" in clustered.columns
+            else F.lit(0)
+        )
         return out.select(
             "doc_id",
             "url",
@@ -226,6 +276,7 @@ def resolve_documents(
             "name_similarity",
             "confidence_score",
             "confidence_category",
+            label_source.cast("int").alias("label_source"),
             (F.size(reasons) > 0).alias("needs_review"),
             F.array_join(reasons, ",").alias("review_reason"),
         )

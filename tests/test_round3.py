@@ -1,0 +1,208 @@
+"""Round-3 additions: V2 phonetic scoring term, full config round-trip,
+IVF auto-sizing recall, S5 report distribution stats, G5+G10 ensemble
+wiring."""
+
+import math
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpu_entity_resolver_spark.config import (
+    BlockingConfig,
+    ResolverConfig,
+    ScoringConfig,
+    config_from_dict,
+    config_to_dict,
+)
+
+
+# --- V2 phonetic scoring term ----------------------------------------------
+
+def _entity_score(spark, a: str, b: str, phonetic_weight: float) -> float:
+    from gpu_entity_resolver_spark.operators.scoring import score_pairs
+
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, norm_text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
+    cfg = ScoringConfig(
+        tfidf_weight=0.40,
+        jaro_winkler_weight=0.35,
+        levenshtein_weight=0.25,
+        phonetic_weight=phonetic_weight,
+        tfidf_ngram_lo=3,
+        tfidf_ngram_hi=5,
+        cosine_prefilter=0.0,
+        jw_decision_band=None,
+    )
+    row = score_pairs(pairs, docs, cfg=cfg).collect()[0]
+    return row
+
+
+def test_phonetic_term_lifts_misspelling_over_threshold(spark):
+    # 'jonsen trucking salvage' vs 'johnson trucking salvage': identical
+    # Metaphone codes (JNSN TRKNK SLFJ), so ph_sim = 1.0 lifts the pair;
+    # without the phonetic stream the shingle/edit signals alone are weaker.
+    a, b = "jonsen trucking salvage", "johnson trucking salvage"
+    without = _entity_score(spark, a, b, 0.0)
+    with_ph = _entity_score(spark, a, b, 0.15)
+    assert with_ph["ph_sim"] == 1.0
+    assert with_ph["score"] > without["score"]
+    # the entity path's 0.65 threshold: phonetics carries it across
+    assert with_ph["score"] >= 0.65
+
+
+def test_phonetic_term_neutral_for_identical_and_absent_for_corpus(spark):
+    row = _entity_score(spark, "acme manufacturing", "acme manufacturing", 0.15)
+    assert row["ph_sim"] == 1.0 and row["score"] == pytest.approx(1.0)
+    # corpus scorer (phonetic_weight = 0) reports ph_sim as null
+    from gpu_entity_resolver_spark.operators.scoring import score_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id long, norm_text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = score_pairs(pairs, docs, cfg=ScoringConfig(cosine_prefilter=0.0)).collect()
+    assert all(r["ph_sim"] is None for r in out)
+
+
+# --- S3/S4 full config round-trip -------------------------------------------
+
+def test_config_round_trip_exact():
+    cfg = ResolverConfig()
+    cfg.scoring.edge_threshold = 0.71
+    cfg.scoring.jw_decision_band = (0.6, 0.8)
+    cfg.clustering.name_match_threshold = 0.93
+    cfg.clustering.allow_neighboring_states = (("il", "wi"), ("mn", "ia"))
+    cfg.blocking.max_block_size = 99
+    back = config_from_dict(config_to_dict(cfg))
+    assert back == cfg
+
+
+def test_config_round_trip_ignores_unknown_keys():
+    d = config_to_dict(ResolverConfig())
+    d["scoring"]["added_in_future_version"] = 1
+    d["brand_new_section"] = {"x": 1}
+    cfg = config_from_dict(d)
+    assert cfg.scoring.edge_threshold == ResolverConfig().scoring.edge_threshold
+
+
+def test_save_load_restores_thresholds(spark, tmp_path):
+    import pandas as pd
+
+    from gpu_entity_resolver_spark.plans.entities import EntityResolver
+
+    cfg = ResolverConfig()
+    cfg.clustering.addr_match_threshold = 0.91  # non-default
+    cfg.scoring.edge_threshold = 0.58
+    df = pd.DataFrame(
+        {
+            "company_name": ["Acme Mfg", "Acme Manufacturing", "Zebra Co"],
+            "address": [
+                "12 Main St Springfield IL 62701",
+                "12 Main St Springfield IL 62701",
+                "9 Oak Ave Peoria IL 61601",
+            ],
+        }
+    )
+    r = EntityResolver(config=cfg, spark=spark)
+    r.fit(df)
+    path = str(tmp_path / "model")
+    r.save_model(path)
+    loaded = EntityResolver(spark=spark).load_model(path)
+    assert loaded.config.clustering.addr_match_threshold == 0.91
+    assert loaded.config.scoring.edge_threshold == 0.58
+    # transform runs under the restored config
+    out = loaded.transform(df.head(1))
+    assert len(out) == 1
+
+
+# --- IVF auto-sizing --------------------------------------------------------
+
+def test_ivf_autosize_recall(spark, sf_dir):
+    # The IVF use case is near-dup retrieval: corpus = base vectors plus
+    # small perturbations; the perturbed query must retrieve its base
+    # vector in the top-5. Auto-sized n_centroids/n_probe.
+    from gpu_entity_resolver_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.first()["embedding"])
+    planted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x + 0.05 * "
+            f"embedding[(i + 7) % {dim}] as float))"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    queries = planted.where(F.col("vec_id") < 1_000_050)
+    hits = {
+        r["query_id"]
+        for r in ivf_topk(corpus, queries, k=5).collect()
+        if r["neighbor_id"] == r["query_id"] - 1_000_000
+    }
+    recall = len(hits) / queries.count()
+    assert recall >= 0.9, f"IVF near-dup recall@5 {recall:.3f}"
+
+
+def test_ivf_autosize_formula():
+    # ceil(sqrt(N)) with a floor of 16
+    assert max(16, math.isqrt(99) + 1) == 16
+    n = 100_000
+    assert max(16, math.isqrt(n - 1) + 1) == 317
+
+
+# --- S5 report parity -------------------------------------------------------
+
+def test_report_distribution_stats(spark):
+    from gpu_entity_resolver_spark.operators.hygiene import generate_report
+
+    rows = []
+    for c in range(5):
+        for m in range(c + 1):
+            rows.append(
+                (c * 100 + m, c, f"text {c}", f"canon {c}", c + 1, 0.9,
+                 "VeryHigh", False, "")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, cluster long, norm_text string, canonical_text string,"
+        " cluster_size int, confidence_score double,"
+        " confidence_category string, needs_review boolean,"
+        " review_reason string",
+    )
+    rep = generate_report(df, top_n_clusters=3)
+    st = rep["cluster_size_stats"]
+    assert st["min"] == 1 and st["max"] == 5
+    assert st["mean"] == pytest.approx(3.0)
+    assert len(rep["largest_clusters"]) == 3
+    assert rep["largest_clusters"][0]["size"] == 5
+    assert rep["largest_clusters"][0]["canonical_text"] == "canon 4"
+
+
+# --- G5 + G10 ensemble in the flagship --------------------------------------
+
+def test_resolve_with_mutual_rank_ensemble(spark):
+    from gpu_entity_resolver_spark.plans.resolve import resolve_documents
+    from gpu_entity_resolver_spark.sources.webgen import (
+        INPUT_COLUMNS,
+        generate_documents,
+    )
+
+    docs = generate_documents(spark, "/root/testdata/sf0.001").select(
+        *INPUT_COLUMNS
+    ).limit(400).localCheckpoint(eager=True)
+    cfg = ResolverConfig()
+    cfg.clustering.ensemble_mutual_rank = True
+    out = resolve_documents(spark, docs, cfg).localCheckpoint(eager=True)
+    assert out.count() == docs.count()
+    srcs = {r["label_source"] for r in out.select("label_source").distinct().collect()}
+    assert srcs <= {0, 1, 2} and 0 in srcs
+    # default config keeps the column, constant 0
+    out0 = resolve_documents(spark, docs)
+    assert {r["label_source"] for r in out0.select("label_source").distinct().collect()} == {0}
