@@ -839,13 +839,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attach_singletons": _q_attach_singletons,
         "ensemble_purity": _q_ensemble_purity,
         "ensemble_labels": _q_ensemble_labels,
-        # rows-only (no oracle_sql entry):
         "consolidate_identical": _q_consolidate_identical,
         "split_clusters": _q_split_clusters,
-        # rows-only: DuckDB has no soundex
-        "phonetic_soundex": _q_phonetic_soundex,
-        "connected_components": _q_connected_components,
-        "minhash_dedup": _q_minhash_dedup,
+        "phonetic_soundex": _q_phonetic_soundex,     # SQL soundex oracle
+        "connected_components": _q_connected_components,  # recursive-CTE oracle
+        "minhash_dedup": _q_minhash_dedup,           # exact TF-IDF replay oracle
+        # rows-only (no oracle_sql entry — genuinely non-SQL-expressible):
+        # simhash/ngram_jaccard depend on xxhash64-compatible hashing /
+        # LSH candidate sets; knn_ivf is approximate (recall pytest);
+        # image_features is a python codec; assign_new + the two resolve
+        # pipelines are full blocking+scoring+CC compositions (F1 +
+        # golden + property pytests).
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "knn_ivf": _q_knn_ivf,
@@ -854,6 +858,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_pipeline": _q_resolve_pipeline,
         "resolve_ensemble": _q_resolve_ensemble,
     }
+
+
+def _collapse_runs_sql(expr: str) -> str:
+    """SQL collapsing runs of identical soundex digits 1-6 (RE2 has no
+    backreferences; 3 chained global replaces per digit handle runs <= 8,
+    far beyond any word's adjacent same-code letters)."""
+    for d in "123456":
+        for _ in range(3):
+            expr = f"replace({expr}, '{d}{d}', '{d}')"
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1193,5 +1207,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l.doc_id, l.dup_group, s.group_size "
             "FROM labels l JOIN sizes s USING (dup_group) "
             "WHERE s.group_size >= 2"
+        ),
+        # G4 exact ground truth: transitive closure via recursive CTE,
+        # min-vertex labeling — the SQL oracle analog of the union-find
+        # property tests.
+        "connected_components": (
+            "WITH RECURSIVE "
+            "e0 AS (SELECT CAST(o_orderkey % 1000 AS BIGINT) AS src, "
+            "CAST(o_custkey % 1000 + 1000 AS BIGINT) AS dst FROM orders), "
+            "vtx AS (SELECT src AS v FROM e0 UNION SELECT dst FROM e0), "
+            "sym AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst "
+            "UNION SELECT DISTINCT dst, src FROM e0 WHERE src <> dst), "
+            "reach(a, b) AS (SELECT src, dst FROM sym "
+            "UNION SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src) "
+            "SELECT v AS vertex, "
+            "coalesce(least(v, min(b)), v) AS component "
+            "FROM vtx LEFT JOIN reach ON reach.a = v GROUP BY v"
+        ),
+        # P5: American Soundex (Spark's soundex() semantics: H/W invisible
+        # for duplicate suppression, vowels separate) as pure SQL —
+        # translate to digit codes with H/W -> 9, strip 9s, collapse runs
+        # (chained replace: DuckDB regex is RE2, no backreferences), drop
+        # the first letter's own code, strip vowel zeros, pad to 3. The
+        # corpus vocabulary is pure lowercase ASCII (verified), where this
+        # is exactly Spark's algorithm (parity asserted in
+        # tests/test_round3.py over the full vocabulary).
+        "phonetic_soundex": (
+            "SELECT doc_id, array_to_string(list_transform("
+            "string_split_regex(trim(text), '\\s+')[1:5], "
+            "w -> substring(upper(w), 1, 1) || substring(replace(substring("
+            + _collapse_runs_sql(
+                "replace(translate(upper(w), "
+                "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+                "'01230129022455012623019202'), '9', '')"
+            )
+            + ", 2), '0', '') || '000', 1, 3)), ' ') AS phonetic_key "
+            "FROM documents"
         ),
     }

@@ -185,6 +185,27 @@ def test_report_distribution_stats(spark):
     assert rep["largest_clusters"][0]["canonical_text"] == "canon 4"
 
 
+# --- SQL soundex oracle parity ----------------------------------------------
+
+def test_soundex_sql_parity_full_vocab(spark, sf_dir):
+    # The phonetic_soundex DuckDB oracle must equal Spark's soundex() on
+    # every word of the corpus vocabulary (pure lowercase ASCII).
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    sdf = entry_mod.queries()["phonetic_soundex"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+    )
+    odf = con.execute(entry_mod.oracle_sql()["phonetic_soundex"]).df()
+    s = dict(zip(sdf["doc_id"], sdf["phonetic_key"]))
+    o = dict(zip(odf["doc_id"], odf["phonetic_key"]))
+    assert s == o
+
+
 # --- G5 + G10 ensemble in the flagship --------------------------------------
 
 def test_resolve_with_mutual_rank_ensemble(spark):
