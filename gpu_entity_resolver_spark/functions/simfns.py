@@ -43,14 +43,21 @@ def jaro_winkler(
     b: pd.Series,
     max_chars: int = 64,
     prefix_weight: float = 0.1,
-    chunk_rows: int = 2048,
+    chunk_rows: int | None = None,
 ) -> np.ndarray:
     """Batch Jaro-Winkler similarity of two aligned string Series.
 
     Standard Jaro with half-max-length match window and transposition count,
     plus Winkler prefix boost (prefix capped at 4). Matches DuckDB's
     ``jaro_winkler_similarity`` (verified by tests/test_simfns.py).
+
+    ``chunk_rows`` defaults to ~4 MB of per-array working set
+    (chunk x max_chars^2 booleans): the kernel's (rows, L, L) match tensors
+    are pure memory traffic, and oversized chunks thrash the cache —
+    measured 6.6k pairs/s/core at chunk 2048 vs 14.4k at 256 for L=144.
     """
+    if chunk_rows is None:
+        chunk_rows = max(128, min(2048, (1 << 22) // (max_chars * max_chars)))
     n = len(a)
     out = np.zeros(n, dtype=np.float64)
     for lo in range(0, n, chunk_rows):

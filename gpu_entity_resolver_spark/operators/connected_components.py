@@ -104,15 +104,17 @@ def connected_components(
 
     prev_sig = None
     for _ in range(max_iterations):
-        if e.isEmpty():
-            break
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # one aggregation does double duty: its count is also the emptiness
+        # check (a separate isEmpty() would cost one extra job per round —
+        # round count x job-scheduling latency is the CC wall floor on
+        # small graphs)
         sig_row = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
         ).first()
         sig = (sig_row["n"], sig_row["h"])
-        if sig == prev_sig:
+        if sig[0] == 0 or sig == prev_sig:
             break
         prev_sig = sig
     else:
