@@ -46,13 +46,25 @@ class BlockingConfig:
     # signatures on long documents.
     minhash_shingle_mod: int = 4
     bands: int = 8                        # LSH bands (rows = num_perm // bands)
-    # measured at sf0.001 (tests/test_blocking.py): 8 bands x 8 rows gives
-    # 99.9% same-entity recall (with SN+host keys) at ~2.4x the candidate
-    # precision of 16x4 — fewer garbage pairs is the dominant cost lever.
+    # measured at sf0.001 (recall evidence: tests/test_pipeline.py
+    # blocking-recall bound and tests/test_salting.py): 8 bands x 8 rows
+    # gives 99.9% same-entity recall (with SN+host keys) at ~2.4x the
+    # candidate precision of 16x4 — fewer garbage pairs is the cost lever.
     seed: int = 42                        # deterministic hash seed
     sorted_neighborhood_prefix: int = 8   # chars of normalized text for SN key
     max_block_size: int = 128             # blocks above this get salted/capped
     salt_buckets: int = 8                 # salt fan-out for hot blocks
+    # Document-frequency ceiling for a single blocking key: keys shared by
+    # more than this many docs are DROPPED before salting (they carry no
+    # discriminative signal — an empty-text LSH band, a boilerplate footer
+    # every page shares). Without the ceiling, the per-block window sort in
+    # salt_blocks serializes a degenerate key's members into ONE task at
+    # web scale. Recall loss is bounded: every doc carries bands + SN +
+    # host (+ phonetic) independent keys, and a key this hot pairs a doc
+    # with ~everything, i.e. the pairs it generates are overwhelmingly
+    # garbage anyway. Same rule assign_new_documents applies cross-table.
+    # None disables the ceiling.
+    hot_key_ceiling: int | None = 16384
     # V2 phonetic key family (reference gives phonetics 15% of the stream
     # energy, config.py:117-124): soundex-per-word keys catch misspellings
     # the char-shingle families miss. Off for long web documents (soundex of

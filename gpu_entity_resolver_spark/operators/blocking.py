@@ -244,9 +244,12 @@ def salt_blocks(
 
     A block so large that even one rank range per task is too big (10^8-row
     boilerplate keys at true web scale) would serialize the window sort into
-    one task; cap that upstream by dropping keys above a df ceiling (they
-    carry no discriminative signal) — see hygiene.assign_new_documents's
-    hot-key cap for the same pattern.
+    one task. ``cfg.hot_key_ceiling`` handles that IN-PATH: keys whose
+    document frequency exceeds the ceiling are dropped entirely before the
+    salting window — they carry no discriminative signal (an empty-text
+    band, a sitewide boilerplate key), so the pairs they would generate are
+    overwhelmingly garbage, and every doc still carries many independent
+    keys (see hygiene.assign_new_documents's cross-table analog).
     """
     cfg = cfg or BlockingConfig()
     cap = cfg.max_block_size
@@ -256,8 +259,12 @@ def salt_blocks(
     # without it the signature computation runs twice.
     blocks = blocks.localCheckpoint(eager=False)
     counts = blocks.groupBy("block_key").agg(F.count("*").alias("block_n"))
-    # Blocks of size 1 produce no pairs — drop them before the join.
+    # Blocks of size 1 produce no pairs — drop them before the join; keys
+    # hotter than the df ceiling are degenerate — drop them too (the
+    # aggregated counts table is tiny, so this costs one comparison).
     useful = counts.where(F.col("block_n") >= 2)
+    if cfg.hot_key_ceiling is not None:
+        useful = useful.where(F.col("block_n") <= cfg.hot_key_ceiling)
     joined = blocks.join(useful, "block_key").withColumn(
         "n_salts", F.ceil(F.col("block_n") / F.lit(cap)).cast("int")
     )

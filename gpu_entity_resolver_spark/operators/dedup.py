@@ -23,7 +23,7 @@ from ..config import BlockingConfig
 from ..functions.textstats import doc_fingerprint
 from .blocking import candidate_pairs, lsh_block_keys
 from .connected_components import connected_components
-from .shingles import pair_cosine, tfidf_weights
+from .shingles import doc_vector_table, pair_cosine_vecs
 
 
 def exact_dedup_groups(
@@ -65,9 +65,13 @@ def minhash_dedup(
     )
     pairs = candidate_pairs(lsh_block_keys(norm, "doc_id", "nt", cfg), cfg)
     # single-width shingles + pruned vectors: same separation at a third of
-    # the exploded-token volume (see ScoringConfig.tfidf_ngram_lo)
-    cos = pair_cosine(
-        pairs, tfidf_weights(norm, "doc_id", "nt", n_lo=4, n_hi=4), top_k=64
+    # the exploded-token volume (see ScoringConfig.tfidf_ngram_lo). Vectors
+    # come from the broadcast-IDF map-side build (doc_vector_table): same
+    # weights/tie-break as doc_vectors(tfidf_weights(...)), but no exploded
+    # tf shuffle, no idf join, no per-doc lambda sort — the join formulation
+    # here was measured 65x slower in the main scorer's vector stage.
+    cos = pair_cosine_vecs(
+        pairs, doc_vector_table(norm, "doc_id", "nt", n_lo=4, n_hi=4, top_k=64)
     )
     edges = cos.where(F.col("tfidf_cos") >= cosine_threshold)
     labels = connected_components(edges)

@@ -191,10 +191,16 @@ def merge_similar_clusters(
             F.max("score").alias("_max"),
         )
     )
+    # Barrier: the isEmpty() probe below executes the sampled member-pair
+    # scoring + percentile job; without it connected_components would
+    # re-execute the whole thing (nothing between `cand` and here is
+    # materialized). merge_edges is tiny (one row per merging cluster pair).
     merge_edges = stats.where(
         (F.col("_med") >= ccfg.merge_median_threshold)
         & (F.col("_max") >= ccfg.merge_max_threshold)
-    ).select(F.col("_ca").alias("src"), F.col("_cb").alias("dst"))
+    ).select(
+        F.col("_ca").alias("src"), F.col("_cb").alias("dst")
+    ).localCheckpoint(eager=False)
     if merge_edges.isEmpty():
         return members
     remap = connected_components(merge_edges).withColumnsRenamed(

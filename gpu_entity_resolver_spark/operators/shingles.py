@@ -241,17 +241,28 @@ def doc_vector_table(
     dfreq = tc.groupBy("h").agg(F.count("*").alias("df"))
     if min_df > 1:
         dfreq = dfreq.where(F.col("df") >= min_df)
-    # limit(max+1): if the driver got <= max rows, it has the WHOLE table
-    # and can broadcast; otherwise fall back without collecting the rest.
-    df_rows = dfreq.limit(broadcast_max_terms + 1).collect()
-    if len(df_rows) > broadcast_max_terms:
+    # ONE Arrow-batched action fetches the df table AND the corpus size:
+    # limit(max+1) bounds the transfer (if we got <= max rows we have the
+    # WHOLE table and can broadcast; otherwise fall back without pulling the
+    # rest), the unioned sentinel row (h = -1, impossible as a gram code —
+    # real codes are strictly positive: bytes-base-256 below a positive
+    # width tag) rides along AFTER the limit so it always survives, and
+    # toPandas keeps the transfer columnar — the former .collect() boxed up
+    # to 4M Row objects on the driver, GBs at the ceiling, plus a separate
+    # texts.count() scan.
+    sentinel = texts.agg(F.count("*").alias("df")).select(
+        F.lit(-1).cast("long").alias("h"), F.col("df")
+    )
+    pdf = dfreq.limit(broadcast_max_terms + 1).unionByName(sentinel).toPandas()
+    n_docs = int(pdf.loc[pdf["h"] == -1, "df"].iloc[0])
+    pdf = pdf[pdf["h"] != -1]
+    if len(pdf) > broadcast_max_terms:
         return doc_vectors(
             tfidf_weights(texts, id_col, text_col, n_lo, n_hi, min_df),
             top_k=top_k,
         )
-    n_docs = texts.count()
-    h_arr = np.array([r["h"] for r in df_rows], dtype=np.int64)
-    df_arr = np.array([r["df"] for r in df_rows], dtype=np.int64)
+    h_arr = pdf["h"].to_numpy(dtype=np.int64)
+    df_arr = pdf["df"].to_numpy(dtype=np.int64)
     order = np.argsort(h_arr)
     h_sorted = h_arr[order]
     idf_sorted = np.log((1.0 + n_docs) / (1.0 + df_arr[order])) + 1.0
@@ -313,11 +324,11 @@ def doc_vector_table(
                 vals = (w_kept / l2).astype(np.float32) if l2 > 0 else w_kept
                 ids.append(int(doc_id))
                 vecs.append(dict(zip(h_kept.tolist(), vals.tolist())))
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "vec": vecs})
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"), "vec": vecs})
 
     return texts.select(
         F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-    ).mapInPandas(per_batch, "doc_id long, vec map<long,float>")
+    ).mapInPandas(per_batch, f"{id_col} long, vec map<long,float>")
 
 
 def pair_cosine_vecs(

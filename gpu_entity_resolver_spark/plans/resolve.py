@@ -87,9 +87,16 @@ def resolve_documents(
     # Parallelism guard: stage 1 (extraction UDF + normalization) is narrow,
     # so it inherits the INPUT partitioning. A handful of big input files
     # would serialize the most expensive per-row work; never run it below
-    # cluster parallelism.
+    # cluster parallelism. File count (a public, plan-only API) is the
+    # trigger: parquet scans split files larger than maxPartitionBytes on
+    # their own, so this only over-repartitions when files are both few AND
+    # small — a cheap shuffle of tiny input. Non-file frames (in-memory
+    # test data, prior-stage results) return no files and keep their
+    # partitioning, which already defaults to cluster parallelism. The
+    # former `docs.rdd.getNumPartitions()` probe forced a plan->RDD
+    # conversion for the same answer.
     target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    if 0 < len(docs.inputFiles()) < target:
         docs = docs.repartition(target * 2)
 
     prepared = ckpt.stage("01_normalized", lambda: prepare_documents(docs, cfg))
