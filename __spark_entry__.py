@@ -860,6 +860,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Soundex digit codes per letter (Spark's US_ENGLISH_MAPPING with the H/W
+# sentinel relabeled 7 -> 9); non-alpha chars first become '0' separators,
+# exactly Spark's lastCode-reset behavior for bytes outside A-Z.
+_SOUNDEX_CODES_SQL = (
+    "translate(regexp_replace(upper(w), '[^A-Z]', '0', 'g'), "
+    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230129022455012623019202')"
+)
+
+
 def _collapse_runs_sql(expr: str) -> str:
     """SQL collapsing runs of identical soundex digits 1-6 (RE2 has no
     backreferences; 3 chained global replaces per digit handle runs <= 8,
@@ -1225,23 +1234,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM vtx LEFT JOIN reach ON reach.a = v GROUP BY v"
         ),
         # P5: American Soundex (Spark's soundex() semantics: H/W invisible
-        # for duplicate suppression, vowels separate) as pure SQL —
-        # translate to digit codes with H/W -> 9, strip 9s, collapse runs
-        # (chained replace: DuckDB regex is RE2, no backreferences), drop
-        # the first letter's own code, strip vowel zeros, pad to 3. The
-        # corpus vocabulary is pure lowercase ASCII (verified), where this
-        # is exactly Spark's algorithm (parity asserted in
-        # tests/test_round3.py over the full vocabulary).
+        # for duplicate suppression, vowels and non-alpha chars separate)
+        # as pure SQL — non-alpha chars become '0' separators, letters
+        # translate to digit codes with H/W -> 9; the FIRST char's code is
+        # kept aside while 9s are stripped from the REST (so the
+        # drop-first-code step removes the actual first letter's code —
+        # 'wright' is W623, not W230: W's own 9 must not vanish before the
+        # drop), runs collapse (chained replace: DuckDB regex is RE2, no
+        # backreferences), the first code is dropped, vowel zeros strip,
+        # pad to 3. Tokens whose first char is non-alphabetic pass through
+        # unchanged, matching Spark's early return. Parity over the full
+        # corpus vocabulary stays a required gate
+        # (tests/test_round3.py::test_soundex_sql_parity_full_vocab).
         "phonetic_soundex": (
             "SELECT doc_id, array_to_string(list_transform("
             "string_split_regex(trim(text), '\\s+')[1:5], "
-            "w -> substring(upper(w), 1, 1) || substring(replace(substring("
+            "w -> CASE WHEN substring(upper(w), 1, 1) BETWEEN 'A' AND 'Z' "
+            "THEN substring(upper(w), 1, 1) || substring(replace(substring("
             + _collapse_runs_sql(
-                "replace(translate(upper(w), "
-                "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
-                "'01230129022455012623019202'), '9', '')"
+                "substring(" + _SOUNDEX_CODES_SQL + ", 1, 1) || "
+                "replace(substring(" + _SOUNDEX_CODES_SQL + ", 2), '9', '')"
             )
-            + ", 2), '0', '') || '000', 1, 3)), ' ') AS phonetic_key "
-            "FROM documents"
+            + ", 2), '0', '') || '000', 1, 3) ELSE w END), ' ') "
+            "AS phonetic_key FROM documents"
         ),
     }

@@ -11,32 +11,138 @@ session and reports the MIN per query (plus the per-run array under
 documented ~2x noisy-neighbor waves; min-of-runs is the reproducible
 number. Default 1 run keeps the driver's single-shot contract.
 
+Every run also times a pure-compute CALIBRATION PROBE (warm
+whole-stage-codegen chained xxhash64 over spark.range — zero shuffle,
+zero python, zero DRAM pressure) and reports it as "probe_sec": the probe
+measures what the shared host can deliver THAT MINUTE, so efficiency
+numbers can be normalized against the attainable ceiling instead of 1.0.
+
 Scaling evidence (north rule: >=0.8 efficiency from N to 4N executors,
-sandbox substitute = two parallelism levels): run twice, e.g.
-    SPARK_GRAFT_CPUS=8  python bench.py
-    SPARK_GRAFT_CPUS=32 python bench.py
-and compare docs_per_sec (see BENCH.md).
+sandbox substitute = two parallelism levels): ``--scaling`` runs the
+flagship pipeline at cpus/4 and cpus in two SEQUENTIAL subprocesses
+(never two Spark sessions at once — they poison each other's timings)
+and prints one JSON line with the {raw, probe, normalized} efficiency
+triplet. Recommended: SPARK_GRAFT_AMPLIFY=6 so the measurement is
+compute-dominated rather than scheduling-floor-dominated (see BENCH.md).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+PROBE_ROWS = 2_000_000_000
+
+
+def _probe_sec(spark) -> float:
+    """Min-of-3 wall seconds for the fixed pure-compute probe job."""
+    expr = "bit_xor(xxhash64(xxhash64(xxhash64(id, 1), 2), 3))"
+    spark.range(0, PROBE_ROWS // 20).selectExpr(expr).collect()  # warm codegen
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, PROBE_ROWS).selectExpr(expr).collect()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument(
+        "--runs",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_RUNS", "1")),
+        help="repetitions per query inside one session; min is reported",
+    )
+    p.add_argument(
+        "--scaling",
+        action="store_true",
+        help="run the N vs 4N parallelism ladder (two sequential "
+        "subprocesses) and print the efficiency triplet",
+    )
+    args = p.parse_args()
+    if args.runs < 1:
+        args.runs = 1
+    return args
+
+
+def _run_scaling(args: argparse.Namespace) -> None:
+    """Orchestrate the two-level ladder; the parent holds NO SparkSession."""
+    cpus_hi = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus_lo = max(2, cpus_hi // 4)
+    factor = cpus_hi / cpus_lo
+    legs: dict[int, dict] = {}
+    for n in (cpus_lo, cpus_hi):
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(n),
+            SPARK_GRAFT_RESOLVE_ONLY="1",
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--runs", str(args.runs)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        line = next(
+            (l for l in reversed(proc.stdout.splitlines()) if l.startswith("{")),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            print(
+                json.dumps(
+                    {
+                        "metric": "scaling_efficiency",
+                        "error": f"leg cpus={n} failed rc={proc.returncode}",
+                        "stderr_tail": proc.stderr[-500:],
+                    }
+                )
+            )
+            sys.exit(1)
+        legs[n] = json.loads(line)
+    lo, hi = legs[cpus_lo], legs[cpus_hi]
+    raw = hi["docs_per_sec"] / (factor * lo["docs_per_sec"])
+    # probe efficiency: how well the HOST itself scaled lo -> hi cores on
+    # pure compute in the same session windows — the attainable ceiling
+    probe = (lo["probe_sec"] / hi["probe_sec"]) / factor
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(raw, 3),
+        "unit": "fraction",
+        "cpus_lo": cpus_lo,
+        "cpus_hi": cpus_hi,
+        "raw": round(raw, 3),
+        "probe": round(probe, 3),
+        "normalized": round(raw / probe, 3) if probe > 0 else None,
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "probe_sec_lo": lo["probe_sec"],
+        "probe_sec_hi": hi["probe_sec"],
+        "amplify": lo["amplify"],
+        "n_docs": lo["n_docs"],
+        "n_runs": args.runs,
+        "sf": lo["sf"],
+    }
+    print(json.dumps(out))
+
 
 def main() -> None:
+    args = _parse_args()
+    if args.scaling:
+        _run_scaling(args)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # Corpus amplification for the flagship pipeline (the driver's documents
     # table caps at 5000 base rows; amplification exercises real scale).
     amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1"))
-    n_runs = int(os.environ.get("SPARK_GRAFT_RUNS", "1"))
-    if "--runs" in sys.argv:
-        n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    n_runs = args.runs
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
     import __spark_entry__ as entry_mod
@@ -88,6 +194,7 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
         runs.append(timings)
 
+    probe_s = _probe_sec(spark)
     best = {k: min(r[k] for r in runs) for k in runs[0]}
     docs_per_sec = round(n_docs / best["resolve_pipeline"], 1)
     total = round(sum(best.values()), 3)
@@ -103,6 +210,7 @@ def main() -> None:
         "cpus": cpus,
         "amplify": amplify,
         "gen_sec": round(gen_s, 3),
+        "probe_sec": round(probe_s, 3),
     }
     if n_runs > 1:
         out["n_runs"] = n_runs

@@ -128,16 +128,23 @@ class ScoringConfig:
     # count is the scaling lever for the whole scoring stage.
     cosine_prefilter: float = 0.35
     # Decision-band Jaro-Winkler: JW carries only `jaro_winkler_weight /
-    # total` of the score, so a pair whose tfidf+lev partial score already
-    # decides every downstream threshold comparison doesn't need it. With
-    # band (lo, hi), JW is computed ONLY when the partial score could still
-    # flip a comparison against a threshold in [lo, hi]; out-of-band pairs
-    # report score = partial (JW treated as 0, `jw` column null). Threshold
-    # comparisons inside [lo, hi] are exactly invariant: low-skipped pairs
-    # have true score < lo, high-skipped pairs report >= hi. The default
-    # brackets every engine threshold (edge 0.55 .. merge_max 0.90); widen
-    # it if you move a threshold outside. None = always compute JW (exact
-    # scores — the entity path uses this, where JW carries 35% weight).
+    # total` of the score, so a pair whose tfidf+lev partial score cannot
+    # reach `lo` even with a perfect JW doesn't need the kernel — its true
+    # score is provably < lo, below every engine threshold AND below every
+    # mean/median/rank consumer's admission bar (attach tau, merge
+    # centroid prefilter, ensemble thresholds). ONLY that low side is
+    # skipped; pairs at or above it — including confident ones — get an
+    # exact JW, because attach_singletons' neighbor means,
+    # merge_similar_clusters' interpolated median, mutual-rank orderings
+    # and avg_pair_score/confidence all consume score VALUES, not just
+    # threshold outcomes. Skipped pairs report score = partial (`jw`
+    # null): underreported by at most jw_share, never overreported, and
+    # always strictly below lo either way. `hi` documents the top of the
+    # engine's threshold range for band-aware consumers but no longer
+    # gates the kernel. The default lo matches the lowest engine
+    # threshold (edge 0.55); lower it if you move a threshold below.
+    # None = always compute JW (exact scores everywhere — the entity path
+    # uses this, where JW carries 35% weight).
     jw_decision_band: tuple[float, float] | None = (0.55, 0.90)
     # JW/Levenshtein run over a bounded "content sketch" (first+middle+last
     # sketch_chars of the normalized text) rather than a prefix truncation:

@@ -163,13 +163,22 @@ def score_pairs(
         )
     else:
         # Phase 2b — decision-band JW. The partial (tfidf + lev) score is
-        # pure JVM; the memory-bandwidth-bound numpy JW kernel runs only for
-        # pairs it could still swing across a threshold in [lo, hi]. Every
-        # threshold comparison inside the band is exactly invariant (see
-        # ScoringConfig.jw_decision_band); out-of-band pairs report
-        # score = partial with jw null, the same convention as the cosine
-        # prefilter branch below.
-        lo, hi = cfg.jw_decision_band
+        # pure JVM; the memory-bandwidth-bound numpy JW kernel is SKIPPED
+        # only on the LOW side: pairs whose partial score cannot reach `lo`
+        # even with a perfect JW (true score provably < lo). That side is
+        # where the candidate volume lives (sub-threshold garbage pairs);
+        # the high side (partial >= hi) IS computed, because confident
+        # pairs flow into mean/median/rank consumers — attach_singletons'
+        # neighbor means, merge_similar_clusters' interpolated median,
+        # mutual-rank orderings, avg_pair_score -> confidence — and those
+        # need exact values, not a jw-as-0 underreport. Every threshold
+        # comparison at or above `lo` is exactly invariant; skipped pairs
+        # report score = partial with jw null (same convention as the
+        # cosine prefilter branch below) and can only be underreported,
+        # never overreported. `hi` is kept in the config for consumers
+        # that want to reason about the band, but no longer gates the
+        # kernel.
+        lo, _hi = cfg.jw_decision_band
         jw_share = cfg.jaro_winkler_weight / total_w
         base = with_texts.select(
             "src",
@@ -189,9 +198,7 @@ def score_pairs(
             / F.lit(total_w),
         # barrier: both branches read the joined+lev'd table exactly once
         ).localCheckpoint(eager=False)
-        need_jw = (F.col("_partial") + F.lit(jw_share) >= F.lit(lo)) & (
-            F.col("_partial") < F.lit(hi)
-        )
+        need_jw = F.col("_partial") + F.lit(jw_share) >= F.lit(lo)
         out_cols = ["src", "dst", "tfidf_cos", "lev_ratio", "jw", "ph_sim", "score"]
         banded = (
             base.where(need_jw)

@@ -69,6 +69,32 @@ def test_phonetic_term_neutral_for_identical_and_absent_for_corpus(spark):
     assert all(r["ph_sim"] is None for r in out)
 
 
+def test_decision_band_skips_only_low_side(spark):
+    # ADVICE r3: confident pairs (partial >= hi) must get an EXACT jw —
+    # mean/median/rank consumers read score values, not just threshold
+    # outcomes. Only pairs that cannot reach `lo` even with jw = 1 skip
+    # the kernel, and their reported score stays below lo.
+    from gpu_entity_resolver_spark.operators.scoring import score_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "acme manufacturing company of rockford illinois"),
+            (2, "acme manufacturing company of rockford illinois"),
+            (3, "completely unrelated text about gardening tulips"),
+        ],
+        "doc_id long, norm_text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    cfg = ScoringConfig(cosine_prefilter=0.0, jw_decision_band=(0.55, 0.90))
+    rows = {(r["src"], r["dst"]): r for r in score_pairs(pairs, docs, cfg=cfg).collect()}
+    hi_pair, lo_pair = rows[(1, 2)], rows[(1, 3)]
+    assert hi_pair["jw"] is not None and hi_pair["jw"] > 0.99
+    # exact score (not partial-only); float32 vector weights bound the slack
+    assert abs(hi_pair["score"] - 1.0) < 1e-6
+    assert lo_pair["jw"] is None
+    assert lo_pair["score"] < 0.55
+
+
 # --- S3/S4 full config round-trip -------------------------------------------
 
 def test_config_round_trip_exact():
@@ -204,6 +230,45 @@ def test_soundex_sql_parity_full_vocab(spark, sf_dir):
     s = dict(zip(sdf["doc_id"], sdf["phonetic_key"]))
     o = dict(zip(odf["doc_id"], odf["phonetic_key"]))
     assert s == o
+
+
+def test_soundex_sql_parity_adversarial(spark):
+    # Words the corpus vocabulary may never contain but real text will:
+    # H/W-initial words (the drop-first-code step must remove the first
+    # letter's own code, not the next one's), H/W-invisible collapses
+    # (NIST examples tymczak/ashcraft), non-alpha-initial tokens (Spark
+    # passes the input through unchanged), and digits/punct inside words
+    # (separator semantics).
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from gpu_entity_resolver_spark.functions.phonetic import soundex_key
+
+    words = [
+        "wright", "php", "hwb", "4runner", "abc123", "pfister", "baba",
+        "tymczak", "honeyman", "robert", "rupert", "ashcraft", "ashcroft",
+        "wu", "h", "a", "99", "o'neil", "x-ray",
+    ]
+    sdf = spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["k"]
+        for r in sdf.select(
+            "doc_id", soundex_key(F.col("text"), 5).alias("k")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT row_number() OVER () AS doc_id, "
+        "w AS text FROM (SELECT unnest(?) AS w)",
+        [words],
+    )
+    odf = con.execute(entry_mod.oracle_sql()["phonetic_soundex"]).df()
+    want = dict(zip(odf["doc_id"], odf["phonetic_key"]))
+    assert got == want
 
 
 # --- G5 + G10 ensemble in the flagship --------------------------------------
