@@ -725,19 +725,55 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # C13 transform path: assign new docs against an existing canonical map
+    # C13 transform path on a planted WELL-SEPARATED fixture (the
+    # validate_reassign oracle pattern): every new doc is either a tail
+    # variant of exactly one family's canonical text (must assign to that
+    # family: blocking's SN prefix key guarantees the candidate, the
+    # 4-signal score ~0.86 clears edge_threshold 0.55, and no other family
+    # shares a word) or a unique page (no family shares content -> new
+    # entity, cluster = own doc_id). The assignment OUTCOME is therefore
+    # decidable in SQL; the floating score is deliberately not returned.
     from gpu_entity_resolver_spark.operators.hygiene import assign_new_documents
 
-    d = _read(spark, sf_dir, "documents")
-    canon = d.where(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("cluster"), F.col("text").alias("canonical_text")
+    names = F.array(*[F.lit(x) for x in _FAMILIES])
+    cities = F.array(*[F.lit(x) for x in _CITIES])
+    canon = spark.range(12).select(
+        (F.lit(1000000) + F.col("id")).alias("cluster"),
+        F.concat_ws(
+            " ",
+            F.element_at(names, F.col("id").cast("int") + 1),
+            F.lit("incorporated services of"),
+            F.element_at(cities, F.col("id").cast("int") + 1),
+            F.lit("illinois"),
+        ).alias("canonical_text"),
     )
-    new = d.where(F.col("doc_id") % 2 == 1).select(
-        "doc_id", F.col("text").alias("norm_text")
+    f = (F.col("o_custkey") % 12).cast("int")
+    uniq = F.col("o_orderkey") % 3 == 0
+    new = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.when(
+            uniq,
+            F.concat_ws(
+                " ",
+                F.lit("unrelated article number"),
+                F.col("o_orderkey").cast("string"),
+                F.lit("covering gardening weather recipes travel"),
+                F.lower(F.col("o_orderpriority")),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.element_at(names, f + 1),
+                F.lit("incorporated services of"),
+                F.element_at(cities, f + 1),
+                F.lit("offices"),
+            )
+        )
+        .alias("norm_text"),
     )
     return assign_new_documents(spark, new, canon).select(
-        "doc_id", "cluster", F.round("match_score", 6).alias("match_score"),
-        "is_new_entity",
+        "doc_id", "cluster", "is_new_entity"
     )
 
 
@@ -844,17 +880,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_soundex": _q_phonetic_soundex,     # SQL soundex oracle
         "connected_components": _q_connected_components,  # recursive-CTE oracle
         "minhash_dedup": _q_minhash_dedup,           # exact TF-IDF replay oracle
+        "assign_new": _q_assign_new,                 # planted-fixture oracle
         # rows-only (no oracle_sql entry — genuinely non-SQL-expressible):
         # simhash/ngram_jaccard depend on xxhash64-compatible hashing /
         # LSH candidate sets; knn_ivf is approximate (recall pytest);
-        # image_features is a python codec; assign_new + the two resolve
-        # pipelines are full blocking+scoring+CC compositions (F1 +
-        # golden + property pytests).
+        # image_features is a python codec; the two resolve pipelines are
+        # full blocking+scoring+CC compositions (F1 + golden + property
+        # pytests).
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "knn_ivf": _q_knn_ivf,
         "image_features": _q_image_features,
-        "assign_new": _q_assign_new,
         "resolve_pipeline": _q_resolve_pipeline,
         "resolve_ensemble": _q_resolve_ensemble,
     }
@@ -1034,6 +1070,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey AS doc_id, CAST(o_custkey % 12 AS BIGINT) AS cluster, "
             "CASE WHEN o_orderkey % 97 = 0 THEN 'reassigned' ELSE 'kept' END "
             "AS membership_status FROM orders"
+        ),
+        # C13 on the planted fixture: tail variants of family f assign to
+        # canonical cluster 1000000 + f; unique pages mint themselves.
+        "assign_new": (
+            "SELECT o_orderkey AS doc_id, "
+            "CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey "
+            "ELSE 1000000 + o_custkey % 12 END AS BIGINT) AS cluster, "
+            "(o_orderkey % 3 = 0) AS is_new_entity FROM orders"
         ),
         # C7 enrichment: full algorithmic replica (best address by score
         # desc, freq desc, key asc; enrich iff street empty and
