@@ -3,10 +3,28 @@
 The reference shells out to libpostal per row (reference utils.py:66-97,
 resolver.py:205-219 — a GPU→CPU→GPU round trip with per-row ``.apply``).
 libpostal is not available here; this module provides a deterministic
-regex-based US-style parser good for the reference's README-shaped inputs
-("123 Main St, Rockford IL 61101"), implemented as ONE Arrow-vectorized
-pandas UDF returning a struct — no per-row Python, and a drop-in seam for
-a libpostal-backed implementation where the library exists.
+regex-based US-style parser, implemented as ONE Arrow-vectorized pandas
+UDF returning a struct — no per-row Python, and a drop-in seam for a
+libpostal-backed implementation where the library exists.
+
+Handled shapes (tests/test_address_parser.py pins each):
+- "123 Main St, Rockford IL 61101" (the reference README's shape);
+- comma-free: "123 Main St Rockford IL 61101" — the state+zip tail is
+  anchored, then street and city split at the last street-suffix token
+  (last, so suffix words inside street NAMES — "St Marks Pl" — stay in
+  the street);
+- "123 Main St Rockford, IL 61101" (comma before the state);
+- unit/suite designators ("Apt 4B", "Suite 200", "Ste 12", "Unit 7",
+  "# 5", "Bldg C", "Fl 2", "Rm 9") are stripped wherever they appear —
+  libpostal routes them to a separate `unit` field the reference never
+  consumes (utils.py:86-97 keeps house_number/road/city/state/postcode),
+  so the struct stays stable and keys line up with and without units.
+  A designator counts only when its value carries a digit or is a
+  single letter: "Fl 2" strips, Florida's "FL 33101" and city names
+  like "Ste Genevieve" don't;
+- directionals ("123 N Main St" / "456 SW Oak Ave") expand to their full
+  words inside the street name, mirroring libpostal's expand_address;
+- PO boxes ("P.O. Box 57") and zip+4.
 """
 
 from __future__ import annotations
@@ -33,46 +51,131 @@ _SUFFIX_EXPANSIONS = {
     "ave": "avenue", "av": "avenue",
     "rd": "road", "dr": "drive", "blvd": "boulevard", "ln": "lane",
     "hwy": "highway", "pkwy": "parkway", "ct": "court", "pl": "place",
+    "cir": "circle", "ter": "terrace", "trl": "trail",
 }
 
+# Directional expansions (two-letter first so "ne" expands as one token).
+_DIRECTIONALS = {
+    "ne": "northeast", "nw": "northwest",
+    "se": "southeast", "sw": "southwest",
+    "n": "north", "s": "south", "e": "east", "w": "west",
+}
+
+# every token that can END a street phrase, for the suffix-anchored split
+# (longest first so "street" wins over "st" in the alternation)
+_SUFFIX_TOKENS = sorted(
+    set(_SUFFIX_EXPANSIONS) | set(_SUFFIX_EXPANSIONS.values()) | {"way"},
+    key=len,
+    reverse=True,
+)
+_SUFFIX_ALT = "|".join(_SUFFIX_TOKENS)
+# street phrase = number + words, ending at the LAST suffix token,
+# followed by at least one trailing (city) word
+_STREET_CITY_RE = rf"(?i)^(\d+\s+.*\b(?:{_SUFFIX_ALT}))\.?\s+(.+)$"
+
+# unit/suite designator + value. The value must carry a digit (not a
+# bare 5-digit zip) or be a single letter — so "Fl 2" is a unit but
+# Florida's "FL 33101" is not, and "Ste Genevieve" stays a city.
+_UNIT_VAL = r"(?:(?!\d{5}\b)(?=[\w-]*\d)[\w-]+|[A-Za-z])"
+_UNIT_RE = (
+    r"(?i)[,\s]*\b(?:apartment|apt|suite|ste|unit|bldg|building|"
+    rf"floor|fl|room|rm)\.?\s*#?\s*{_UNIT_VAL}\b"
+    rf"|[,\s]*#\s*{_UNIT_VAL}\b"
+)
+
 _STATE_RE = r"\b([A-Z]{2})\b"
+# comma-free tail anchor: "... <city words> <ST> <zip>" at end of string
+_TAIL_RE = r"^(.*?)[\s,]+([A-Za-z]{2})\s+(\d{5})(?:-\d{4})?$"
 
 
-def parse_address_series(addr: pd.Series) -> pd.DataFrame:
-    """Vectorized parse of 'NUMBER STREET, CITY STATE ZIP'-shaped strings."""
-    s = addr.fillna("").astype(str).str.strip()
-
-    # PO Box special case (reference utils.py:80-84)
-    po = s.str.extract(r"(?i)\bp\.?\s*o\.?\s*box\s*#?\s*(\d+)", expand=False)
-
-    parts = s.str.split(",", n=2, expand=True).reindex(columns=[0, 1, 2])
-    first = parts[0].fillna("")
-    rest = (parts[1].fillna("") + " " + parts[2].fillna("")).str.strip()
-
-    street_number = first.str.extract(r"^\s*(\d+)\b", expand=False).fillna("")
-    street_name = (
-        first.str.replace(r"^\s*\d+\s*", "", regex=True)
-        .str.lower()
+def _expand_street(street: pd.Series) -> pd.Series:
+    """Lowercase, strip punctuation, expand trailing suffix abbreviations
+    and directional tokens."""
+    out = (
+        street.str.lower()
         .str.replace(r"[^\w\s]", " ", regex=True)
         .str.replace(r"\s+", " ", regex=True)
         .str.strip()
     )
-    # expand trailing street-suffix abbreviation
     for abbr, full in _SUFFIX_EXPANSIONS.items():
-        street_name = street_name.str.replace(
-            rf"\b{abbr}$", full, regex=True
-        )
+        out = out.str.replace(rf"\b{abbr}$", full, regex=True)
+    for abbr, full in _DIRECTIONALS.items():
+        out = out.str.replace(rf"\b{abbr}\b", full, regex=True)
+    return out
 
-    zips = rest.str.extract(r"\b(\d{5})(?:-\d{4})?\b", expand=False).fillna("")
-    state = rest.str.extract(_STATE_RE, expand=False).fillna("")
-    city = (
-        rest.str.replace(r"\b\d{5}(?:-\d{4})?\b", "", regex=True)
+
+def _clean_city(city: pd.Series) -> pd.Series:
+    return (
+        city.str.replace(r"\b\d{5}(?:-\d{4})?\b", "", regex=True)
         .str.replace(_STATE_RE, "", regex=True)
         .str.replace(r"[^\w\s]", " ", regex=True)
         .str.replace(r"\s+", " ", regex=True)
         .str.strip()
         .str.lower()
     )
+
+
+def parse_address_series(addr: pd.Series) -> pd.DataFrame:
+    """Vectorized parse of US-style address strings (see module doc for
+    the handled shapes)."""
+    s = addr.fillna("").astype(str).str.strip()
+
+    # PO Box special case (reference utils.py:80-84)
+    po = s.str.extract(r"(?i)\bp\.?\s*o\.?\s*box\s*#?\s*(\d+)", expand=False)
+
+    # unit/suite designators carry no signal the reference consumes —
+    # strip them before any split, so "123 Main St Apt 4B, Rockford IL"
+    # and "123 Main St, Rockford IL" produce identical keys
+    s_clean = (
+        s.str.replace(_UNIT_RE, " ", regex=True)
+        .str.replace(r"\s+,", ",", regex=True)
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+    )
+
+    has_comma = s_clean.str.contains(",", regex=False)
+
+    # --- comma path: "NUMBER STREET, CITY STATE ZIP" --------------------
+    parts = s_clean.str.split(",", n=2, expand=True).reindex(columns=[0, 1, 2])
+    first = parts[0].fillna("")
+    rest = (parts[1].fillna("") + " " + parts[2].fillna("")).str.strip()
+
+    # --- comma-free path: anchor the "<ST> <zip>" tail, then split the
+    # head into street + city at the last street-suffix token ------------
+    tail = s_clean.str.extract(_TAIL_RE)
+    head = tail[0].fillna("")
+    head_split = head.str.extract(_STREET_CITY_RE)
+    cf = (~has_comma) & tail[0].notna()
+    # suffix found: street = up to it, city = after; no suffix: whole
+    # head stays street (city unrecoverable without a gazetteer)
+    first = first.mask(cf, head_split[0].fillna(head))
+    cf_city = head_split[1].fillna("")
+
+    # --- "NUMBER STREET CITY, ST ZIP" (comma before the state):
+    # city tokens live in `first`; pull them out at the suffix boundary
+    rest_is_tail = rest.str.match(r"^(?i:[A-Za-z]{2})\s+\d{5}(?:-\d{4})?$")
+    first_split = first.str.extract(_STREET_CITY_RE)
+    cs = has_comma & rest_is_tail.fillna(False) & first_split[0].notna()
+    first = first.mask(cs, first_split[0])
+
+    street_number = first.str.extract(r"^\s*(\d+)\b", expand=False).fillna("")
+    street_name = _expand_street(
+        first.str.replace(r"^\s*\d+\s*", "", regex=True)
+    )
+
+    zips = rest.str.extract(r"\b(\d{5})(?:-\d{4})?\b", expand=False)
+    zips = zips.mask(cf, tail[2]).fillna("")
+    # comma-free / comma-tail states were anchored (case-insensitive);
+    # the general comma path keeps the uppercase-only match (a lowercase
+    # 2-letter word mid-city, e.g. "st" in "st louis", is not a state)
+    state = rest.str.extract(_STATE_RE, expand=False)
+    state = state.mask(cf, tail[1].str.upper())
+    state = state.mask(
+        cs, rest.str.extract(r"^([A-Za-z]{2})\b", expand=False).str.upper()
+    ).fillna("")
+    city = _clean_city(rest)
+    city = city.mask(cf, _clean_city(cf_city))
+    city = city.mask(cs, _clean_city(first_split[1].fillna("")))
 
     is_po = po.notna()
     street_name = street_name.mask(is_po, "po box " + po.fillna(""))
