@@ -31,8 +31,17 @@ def __getattr__(name):
         from .plans.resolve import resolve_documents
 
         return resolve_documents
+    if name == "embed_documents":
+        from .functions.embed import embed_documents
+
+        return embed_documents
     raise AttributeError(name)
 
 
-__all__ = ["ResolverConfig", "EntityResolver", "resolve_documents"]
+__all__ = [
+    "ResolverConfig",
+    "EntityResolver",
+    "resolve_documents",
+    "embed_documents",
+]
 __version__ = "0.1.0"
