@@ -663,12 +663,19 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact n-gram Jaccard over blocked candidate pairs
+    # exact 4-gram Jaccard near-dup pairs (>= 0.8) over blocked candidates.
+    # Oracle-checked against an exact ALL-PAIRS DuckDB jaccard: blocking is
+    # deterministic (fixed corpus + seed), and every >= 0.8 pair in the
+    # corpus is recalled by the LSH keys (verified; the comparison asserts
+    # BOTH the jaccard arithmetic and blocking recall at this threshold —
+    # a blocking recall regression fails this row).
     from gpu_entity_resolver_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), "doc_id", "text"
-    ).select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+    return (
+        ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), "doc_id", "text", n=4)
+        .where(F.col("jaccard") >= 0.8)
+        .select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,14 +888,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,  # recursive-CTE oracle
         "minhash_dedup": _q_minhash_dedup,           # exact TF-IDF replay oracle
         "assign_new": _q_assign_new,                 # planted-fixture oracle
+        "ngram_jaccard": _q_ngram_jaccard,           # exact all-pairs oracle
         # rows-only (no oracle_sql entry — genuinely non-SQL-expressible):
-        # simhash/ngram_jaccard depend on xxhash64-compatible hashing /
-        # LSH candidate sets; knn_ivf is approximate (recall pytest);
-        # image_features is a python codec; the two resolve pipelines are
-        # full blocking+scoring+CC compositions (F1 + golden + property
-        # pytests).
+        # simhash emits raw xxhash64-derived fingerprints; knn_ivf is
+        # approximate (recall pytest); image_features is a python codec;
+        # the two resolve pipelines are full blocking+scoring+CC
+        # compositions (F1 + golden + property pytests).
         "simhash": _q_simhash,
-        "ngram_jaccard": _q_ngram_jaccard,
         "knn_ivf": _q_knn_ivf,
         "image_features": _q_image_features,
         "resolve_pipeline": _q_resolve_pipeline,
@@ -1070,6 +1076,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey AS doc_id, CAST(o_custkey % 12 AS BIGINT) AS cluster, "
             "CASE WHEN o_orderkey % 97 = 0 THEN 'reassigned' ELSE 'kept' END "
             "AS membership_status FROM orders"
+        ),
+        # exact ALL-PAIRS 4-gram jaccard at >= 0.8 — no blocking: DuckDB
+        # enumerates every co-gram pair, so the comparison also proves the
+        # Spark side's LSH blocking recalled every >= 0.8 pair.
+        "ngram_jaccard": (
+            "WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS nt "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, substring(nt, CAST(i AS INT), 4) AS gram "
+            "FROM (SELECT doc_id, nt, unnest(range(1, length(nt) - 2)) AS i FROM d) "
+            "WHERE length(nt) >= 4 "
+            "UNION "
+            "SELECT DISTINCT doc_id, nt AS gram FROM d WHERE length(nt) < 4), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i "
+            "FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT src, dst, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) "
+            "AS jaccard FROM inter "
+            "JOIN sz sa ON sa.doc_id = src JOIN sz sb ON sb.doc_id = dst "
+            "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"
         ),
         # C13 on the planted fixture: tail variants of family f assign to
         # canonical cluster 1000000 + f; unique pages mint themselves.
