@@ -798,6 +798,47 @@ def _q_resolve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_resolve_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The FULL flagship pipeline (blocking -> 4-signal scoring -> CC ->
+    # hygiene -> canonical election) under the value-hash gate: a planted
+    # WELL-SEPARATED corpus (12 vocab-disjoint families x 4 tail variants,
+    # ~1.9k docs) whose correct clustering is decidable by construction.
+    # Cluster labels are minted hashes, so the output normalizes each
+    # cluster to its min url — the oracle computes the same label from the
+    # planted family id. Any blocking recall miss, scoring flip, CC bug or
+    # spurious hygiene merge/split changes the partition and fails the row.
+    from gpu_entity_resolver_spark.plans.resolve import resolve_documents
+
+    names = F.array(*[F.lit(x) for x in _FAMILIES])
+    cities = F.array(*[F.lit(x) for x in _CITIES])
+    tails = F.array(
+        F.lit(""), F.lit(" main office"), F.lit(" branch location"),
+        F.lit(" downtown site"),
+    )
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 8 == 0)
+    f = (F.col("o_custkey") % 12).cast("int")
+    v = (F.col("o_orderkey") % 4).cast("int")
+    docs = o.select(
+        F.concat(
+            F.lit("https://planted"), f.cast("string"),
+            F.lit(".example.com/doc/"), F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(
+            F.element_at(names, f + 1),
+            F.lit(" incorporated services of "),
+            F.element_at(cities, f + 1),
+            F.lit(" illinois"),
+            F.element_at(tails, v + 1),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = resolve_documents(spark, docs)
+    entity = F.min("url").over(Window.partitionBy("cluster"))
+    return out.select("url", entity.alias("entity"))
+
+
 def _q_resolve_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     # G5+G10 flagship variant: second labeling from the mutual-rank kNN
     # graph (reference SNN recall path, utils.py:400-469) arbitrated by
@@ -897,6 +938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "knn_ivf": _q_knn_ivf,
         "image_features": _q_image_features,
+        # the flagship composition ALSO runs under the value-hash gate on
+        # a planted decidable corpus (resolve_planted); the synthetic-web
+        # variants below exercise realistic near-dup structure rows-only
+        "resolve_planted": _q_resolve_planted,
         "resolve_pipeline": _q_resolve_pipeline,
         "resolve_ensemble": _q_resolve_ensemble,
     }
@@ -1096,6 +1141,14 @@ def oracle_sql() -> dict[str, str]:
             "AS jaccard FROM inter "
             "JOIN sz sa ON sa.doc_id = src JOIN sz sb ON sb.doc_id = dst "
             "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8"
+        ),
+        # flagship on the planted corpus: the correct partition groups
+        # exactly the rows of one family; labels normalize to min url
+        "resolve_planted": (
+            "WITH d AS (SELECT 'https://planted' || (o_custkey % 12) || "
+            "'.example.com/doc/' || o_orderkey AS url, o_custkey % 12 AS f "
+            "FROM orders WHERE o_orderkey % 8 = 0) "
+            "SELECT url, min(url) OVER (PARTITION BY f) AS entity FROM d"
         ),
         # C13 on the planted fixture: tail variants of family f assign to
         # canonical cluster 1000000 + f; unique pages mint themselves.
