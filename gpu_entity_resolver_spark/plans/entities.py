@@ -59,6 +59,25 @@ def _entity_scoring_config(cfg: ResolverConfig) -> ScoringConfig:
     )
 
 
+class _hybridmethod:
+    """Descriptor making a method callable BOTH as a classmethod and on an
+    instance. The reference exposes ``load_model`` as a classmethod
+    (``EntityResolver.load_model(path)``, resolver.py:1439-1440); the Spark
+    port also supports the instance form so callers can inject a session
+    (``EntityResolver(spark=...).load_model(path)``). Class-form calls get
+    a fresh default-constructed instance (lazy session)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+        self.__doc__ = fn.__doc__
+
+    def __get__(self, obj, objtype=None):
+        import functools
+
+        target = obj if obj is not None else objtype()
+        return functools.partial(self.fn, target)
+
+
 class EntityResolver:
     """Drop-in analog of the reference ``EntityResolver`` (resolver.py:38)."""
 
@@ -227,7 +246,12 @@ class EntityResolver:
                 f,
             )
 
+    @_hybridmethod
     def load_model(self, path: str) -> "EntityResolver":
+        """Load a saved model. Reference-parity classmethod form
+        (``EntityResolver.load_model(path)``) and session-injecting
+        instance form (``EntityResolver(spark=s).load_model(path)``) both
+        work — see :class:`_hybridmethod`."""
         from ..config import config_from_dict
 
         spark = self._session()

@@ -139,6 +139,10 @@ def test_save_load_restores_thresholds(spark, tmp_path):
     path = str(tmp_path / "model")
     r.save_model(path)
     loaded = EntityResolver(spark=spark).load_model(path)
+    # reference-parity classmethod form (reference resolver.py:1439-1440)
+    cls_loaded = EntityResolver.load_model(path)
+    assert cls_loaded._is_fitted
+    assert cls_loaded.config.clustering.addr_match_threshold == 0.91
     assert loaded.config.clustering.addr_match_threshold == 0.91
     assert loaded.config.scoring.edge_threshold == 0.58
     # transform runs under the restored config
