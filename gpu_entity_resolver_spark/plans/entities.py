@@ -266,14 +266,27 @@ class EntityResolver:
         self._is_fitted = True
         return self
 
-    def generate_report(self) -> dict:
+    def generate_report(
+        self, original_df=None, entity_col: str = "company_name"
+    ) -> dict:
+        """S5 summary report. The reference signature takes the original
+        input frame and reports ``unique_entities_before`` from it
+        (resolver.py:1289-1304); it is optional here so the no-input form
+        keeps working, and accepts pandas or Spark."""
         assert self.resolved_ is not None
         from ..operators.hygiene import generate_report
 
         renamed = self.resolved_.withColumnsRenamed(
             {"final_cluster": "cluster", "canonical_name": "canonical_text"}
         ).withColumn("norm_text", F.col("normalized_text"))
-        return generate_report(renamed)
+        rep = generate_report(renamed)
+        if original_df is not None:
+            if isinstance(original_df, pd.DataFrame):
+                before = int(original_df[entity_col].nunique())
+            else:
+                before = original_df.select(entity_col).distinct().count()
+            rep["unique_entities_before"] = before
+        return rep
 
     def get_review_dataframe(self) -> DataFrame:
         assert self.resolved_ is not None

@@ -50,6 +50,14 @@ def test_readme_example_clusters(resolved):
     assert crystal != midwest
 
 
+def test_generate_report_reference_signature(resolver, resolved):
+    # reference signature: generate_report(original_df) reports
+    # unique_entities_before from the input (resolver.py:1289-1304)
+    rep = resolver.generate_report(pd.DataFrame(README_DATA))
+    assert rep["unique_entities_before"] == 5
+    assert "unique_entities_before" not in resolver.generate_report()
+
+
 def test_readme_canonical_names(resolved):
     by_name = resolved.set_index("company_name")
     assert by_name.loc["Crystal Clean LLC", "canonical_name"] == "Crystal Clean"
