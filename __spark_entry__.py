@@ -744,8 +744,10 @@ def _q_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     names = F.array(*[F.lit(x) for x in _FAMILIES])
     cities = F.array(*[F.lit(x) for x in _CITIES])
+    # canonical ids offset to 1e10 + f: raw o_orderkey doc_ids reach 1e6+
+    # at sf >= 1, so a small offset would collide and corrupt scoring
     canon = spark.range(12).select(
-        (F.lit(1000000) + F.col("id")).alias("cluster"),
+        (F.lit(10_000_000_000) + F.col("id")).alias("cluster"),
         F.concat_ws(
             " ",
             F.element_at(names, F.col("id").cast("int") + 1),
@@ -754,7 +756,9 @@ def _q_assign_new(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("illinois"),
         ).alias("canonical_text"),
     )
-    f = (F.col("o_custkey") % 12).cast("int")
+    # family from the orderkey (o_custkey is never divisible by 3 in TPC-H,
+    # which would leave families {0,3,6,9} without any assignments)
+    f = (F.floor(F.col("o_orderkey") / 3) % 12).cast("int")
     uniq = F.col("o_orderkey") % 3 == 0
     new = _read(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("doc_id"),
@@ -816,8 +820,15 @@ def _q_resolve_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" downtown site"),
     )
     o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 8 == 0)
-    f = (F.col("o_custkey") % 12).cast("int")
-    v = (F.col("o_orderkey") % 4).cast("int")
+    # TPC-H orderkeys populate only the first 8 slots of every block of 32,
+    # so the filtered keys are all == 8 (mod 32) and k % 4 would be the
+    # constant 0 (and o_custkey is never divisible by 3, leaving 4 families
+    # empty).  Derive BOTH family and variant from the block index
+    # m = floor(k / 32), which is consecutive across the filtered keys:
+    # every (family, variant) combination materializes.
+    m = F.floor(F.col("o_orderkey") / 32)
+    f = (F.floor(m / 4) % 12).cast("int")
+    v = (m % 4).cast("int")
     docs = o.select(
         F.concat(
             F.lit("https://planted"), f.cast("string"),
@@ -1145,17 +1156,19 @@ def oracle_sql() -> dict[str, str]:
         # flagship on the planted corpus: the correct partition groups
         # exactly the rows of one family; labels normalize to min url
         "resolve_planted": (
-            "WITH d AS (SELECT 'https://planted' || (o_custkey % 12) || "
-            "'.example.com/doc/' || o_orderkey AS url, o_custkey % 12 AS f "
+            "WITH d AS (SELECT 'https://planted' || "
+            "(((o_orderkey // 32) // 4) % 12) || "
+            "'.example.com/doc/' || o_orderkey AS url, "
+            "((o_orderkey // 32) // 4) % 12 AS f "
             "FROM orders WHERE o_orderkey % 8 = 0) "
             "SELECT url, min(url) OVER (PARTITION BY f) AS entity FROM d"
         ),
         # C13 on the planted fixture: tail variants of family f assign to
-        # canonical cluster 1000000 + f; unique pages mint themselves.
+        # canonical cluster 1e10 + f; unique pages mint themselves.
         "assign_new": (
             "SELECT o_orderkey AS doc_id, "
             "CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey "
-            "ELSE 1000000 + o_custkey % 12 END AS BIGINT) AS cluster, "
+            "ELSE 10000000000 + (o_orderkey // 3) % 12 END AS BIGINT) AS cluster, "
             "(o_orderkey % 3 = 0) AS is_new_entity FROM orders"
         ),
         # C7 enrichment: full algorithmic replica (best address by score

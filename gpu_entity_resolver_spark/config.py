@@ -139,7 +139,11 @@ class ScoringConfig:
     # and avg_pair_score/confidence all consume score VALUES, not just
     # threshold outcomes. Skipped pairs report score = partial (`jw`
     # null): underreported by at most jw_share, never overreported, and
-    # always strictly below lo either way. `hi` documents the top of the
+    # always strictly below lo either way. Threshold DECISIONS at >= lo
+    # are exactly invariant; MEANS over pair sets that include sub-band
+    # pairs are not — which is why the resolve pipeline filters jw-null
+    # rows out of attach_singletons' neighbor set (plans/resolve.py)
+    # instead of letting approximate scores into its mean/ratio tests. `hi` documents the top of the
     # engine's threshold range for band-aware consumers but no longer
     # gates the kernel. The default lo matches the lowest engine
     # threshold (edge 0.55); lower it if you move a threshold below.

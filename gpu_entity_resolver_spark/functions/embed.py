@@ -31,6 +31,7 @@ honest-seam pattern as the FAKEIMG codec in functions/multimodal.py.
 from __future__ import annotations
 
 import hashlib
+import uuid
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -38,8 +39,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 # One encoder per python worker process (predict_batch_udf semantics).
-# Keyed by the factory's identity so different hooks coexist.
-_WORKER_ENCODERS: dict[int, Callable[[list[str]], np.ndarray]] = {}
+# Keyed by a per-call uuid so different hooks coexist and a recycled
+# driver-side object id can never alias a previous call's encoder.
+_WORKER_ENCODERS: dict[str, Callable[[list[str]], np.ndarray]] = {}
 
 
 def hash_embedder(dim: int = 64) -> Callable[[list[str]], np.ndarray]:
@@ -87,7 +89,12 @@ def embed_documents(
     The output feeds ``operators.similarity.brute_force_topk`` /
     ``ivf_topk`` and ``operators.dedup.embedding_neardup_pairs`` as-is.
     """
-    key = id(encoder_factory)
+    # Cache key must be a stable per-call identity: id() of the driver-side
+    # factory can be recycled after garbage collection, silently handing a
+    # later call the PREVIOUS factory's cached encoder on long-lived
+    # python workers. A fresh uuid per embed_documents call can never
+    # alias; the factory still runs at most once per worker per call.
+    key = uuid.uuid4().hex
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         enc = _WORKER_ENCODERS.get(key)

@@ -240,8 +240,12 @@ def attach_singletons(
       >= ``min_matching`` of them individually >= tau.
 
     ``pairs``: (src, dst, score) — the pipeline's already-scored candidate
-    pairs (no extra scoring pass). ``labels``: (doc_id, cluster).
-    Returns labels with singleton clusters re-pointed where attached."""
+    pairs (no extra scoring pass). Scores must be EXACT: the mean and
+    ratio tests consume score values, so callers scoring with a
+    decision band / cosine prefilter must drop the approximated
+    (jw-null) rows first, as plans/resolve.py does. ``labels``:
+    (doc_id, cluster). Returns labels with singleton clusters re-pointed
+    where attached."""
     sizes = labels.groupBy("cluster").agg(F.count("*").alias("_sz"))
     lab = labels.join(sizes, "cluster")
     singles = lab.where(F.col("_sz") == 1).select("doc_id")

@@ -85,19 +85,46 @@ def resolve_documents(
     ckpt = CheckpointManager(spark, checkpoint_dir or cfg.runtime.checkpoint_dir)
 
     # Parallelism guard: stage 1 (extraction UDF + normalization) is narrow,
-    # so it inherits the INPUT partitioning. A handful of big input files
+    # so it inherits the INPUT partitioning. A handful of SMALL input files
     # would serialize the most expensive per-row work; never run it below
-    # cluster parallelism. File count (a public, plan-only API) is the
-    # trigger: parquet scans split files larger than maxPartitionBytes on
-    # their own, so this only over-repartitions when files are both few AND
-    # small — a cheap shuffle of tiny input. Non-file frames (in-memory
-    # test data, prior-stage results) return no files and keep their
-    # partitioning, which already defaults to cluster parallelism. The
-    # former `docs.rdd.getNumPartitions()` probe forced a plan->RDD
-    # conversion for the same answer.
+    # cluster parallelism. File count alone is NOT the trigger: parquet
+    # scans split files larger than maxPartitionBytes on their own, so a
+    # handful of multi-GB files already scans at >= target parallelism and
+    # repartitioning would force a full-input shuffle (fatal at 100 TB).
+    # Gate on the ESTIMATED SCAN SPLITS — total bytes / maxPartitionBytes —
+    # and only shuffle when both file count and split count fall short:
+    # a cheap shuffle of genuinely tiny input. Sizes come from the Hadoop
+    # FileSystem API (works for file:/hdfs:/s3a:); if a size can't be
+    # fetched, assume the input is big and leave the scan alone (the
+    # false-negative costs an under-parallel scan of one stage; the
+    # false-positive costs shuffling the whole input). Non-file frames
+    # (in-memory test data, prior-stage results) return no files and keep
+    # their partitioning, which already defaults to cluster parallelism.
     target = spark.sparkContext.defaultParallelism
-    if 0 < len(docs.inputFiles()) < target:
-        docs = docs.repartition(target * 2)
+    files = docs.inputFiles()
+    if 0 < len(files) < target:
+        try:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            total = 0
+            for uri in files:
+                jpath = jvm.org.apache.hadoop.fs.Path(uri)
+                total += jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
+            mpb_raw = spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728b"
+            )
+            mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+            mpb_raw = mpb_raw.strip().lower()
+            mpb = (
+                int(mpb_raw[:-1]) * mult[mpb_raw[-1]]
+                if mpb_raw[-1] in mult
+                else int(mpb_raw)
+            )
+            est_splits = -(-total // max(mpb, 1))
+        except Exception:
+            est_splits = target
+        if est_splits < target:
+            docs = docs.repartition(target * 2)
 
     prepared = ckpt.stage("01_normalized", lambda: prepare_documents(docs, cfg))
 
@@ -172,9 +199,18 @@ def resolve_documents(
         if cfg.clustering.attach_noise:
             # G8: rescue singletons with a strong unambiguous sub-threshold
             # signal (reference utils.py:473-545) — reuses the stage-03
-            # scores, no extra scoring pass
+            # scores, no extra scoring pass. jw-null rows (decision-band
+            # skips + cosine-prefilter prunes) carry APPROXIMATE scores,
+            # provably < band lo (0.55), far under tau: feed only exact
+            # scores into the mean/ratio tests so an underreported
+            # runner-up mean can never inflate the best/second ratio. The
+            # reference's neighborhood is top-k by similarity
+            # (utils.py:490-492); pairs this weak are precisely the ones
+            # its kNN crowds out.
             out = attach_singletons(
-                scored.select("src", "dst", "score"),
+                scored.where(F.col("jw").isNotNull()).select(
+                    "src", "dst", "score"
+                ),
                 out,
                 tau=cfg.clustering.attachment_similarity_threshold,
                 min_matching=cfg.clustering.attachment_min_matching,
