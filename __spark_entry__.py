@@ -719,6 +719,22 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def _q_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF at FULL probe (n_probe = n_centroids) is exhaustive: every query
+    # scans every inverted list, so the result must equal brute force —
+    # which puts the IVF machinery (centroid seeding, nearest-centroid
+    # assignment, probe ranking, candidate union, final top-k) under the
+    # same DuckDB value-hash oracle as knn_bruteforce. The approximate
+    # default path keeps its recall pytest (tests/test_simfns.py).
+    from gpu_entity_resolver_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=32, n_probe=32
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal plumbing: binary payload -> typed metadata + phash
     # (decode stubbed behind the deterministic FAKEIMG codec; see
@@ -905,6 +921,118 @@ def _q_resolve_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ens_junk(tag: str, col, nwords: int = 1):
+    """Character-unique pseudo-random filler words: lowercase base-36 of
+    xxhash64. V1 TF-IDF is over CHAR shingles, so planted distinctness has
+    to live at the character level — word stems with numeric suffixes all
+    look alike to the vectorizer (measured: such 'unique' texts scored
+    ~1.0 pairwise)."""
+    parts = []
+    for w in range(nwords):
+        parts.append(
+            F.lower(
+                F.conv(
+                    F.pmod(
+                        F.xxhash64(F.lit(f"{tag}{w}"), col), F.lit(2**61)
+                    ).cast("string"),
+                    10,
+                    36,
+                )
+            )
+        )
+    return F.concat_ws(" ", *parts)
+
+
+def _q_resolve_ensemble_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G5+G10 ensemble arbitration under the VALUE-HASH gate: the full
+    # pipeline with ensemble_mutual_rank on a planted corpus whose correct
+    # partition AND label_source are decidable by construction. Multiples
+    # of 8 are dense in the generated orders table, so i = o_orderkey/8 is
+    # a contiguous doc index; each super-block of 10 docs is a
+    # self-contained scenario (role = i%10):
+    #   0-3  core    family words F(blk) x 5 + tail variant; pairwise
+    #                score 0.85-0.91 -> A cluster (label_source 0)
+    #   4    rescue  first 4 family words + 2 unique junk words; scores
+    #                0.61-0.67 vs the cores — inside the planted
+    #                [recall=0.56, edge=0.75) band, so it is A-noise,
+    #                joins the family in the mutual-rank B labeling, and
+    #                the purity mapping rescues it (label_source 1)
+    #   5-8  mint    4 shared group words + 2 unique junk: pairwise
+    #                0.62-0.65, in-band, no A cluster to map onto, group
+    #                size 4 = min_new_cluster_size -> freshly minted
+    #                cluster (label_source 2)
+    #   9    noise   5 unique junk words: no candidate pairs at all; keeps
+    #                its singleton (label_source 0)
+    # Families/groups key off the super-block id, so they stay
+    # CONSTANT-SIZE at every sf (a growing family would push the
+    # rescue-core edges out of the mutual-rank top-k). Junk words are
+    # char-disjoint across blocks, so the cross-block score ceiling is
+    # 0.009 — any blocking miss, scoring flip, CC/arbitration bug or
+    # spurious hygiene step changes the partition and fails the hash row.
+    # Thresholds are fixture config (the engine's thresholds are config,
+    # as in reference config.py): the default band [0.45,0.55) is
+    # unreachable by in-band construction because the 0.35 cosine
+    # prefilter and the lev/jw floor of any prefix-blocked pair bracket
+    # it; [0.56,0.75) sits in measured open space on every side.
+    # Partial trailing super-blocks decide degenerate outcomes the same
+    # way the oracle does: <2 cores -> everyone stays singleton; <4 mint
+    # members -> no mint.
+    from gpu_entity_resolver_spark.plans.resolve import resolve_documents
+
+    tails = F.array(
+        F.lit(""), F.lit(" main office"), F.lit(" branch location"),
+        F.lit(" downtown site"),
+    )
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 8 == 0)
+    i = (F.col("o_orderkey") / 8).cast("long")
+    blk = F.floor(i / 10)
+    r = (i % 10).cast("int")
+    f = (blk % 12).cast("int")
+    core_text = F.concat(
+        _ens_junk("f", blk, 5), F.element_at(tails, F.pmod(r, F.lit(4)) + 1)
+    )
+    rescue_text = F.concat_ws(
+        " ", _ens_junk("f", blk, 4), _ens_junk("r", i, 2)
+    )
+    mint_text = F.concat_ws(" ", _ens_junk("g", blk, 4), _ens_junk("m", i, 2))
+    noise_text = _ens_junk("n", i, 5)
+    role = (
+        F.when(r < 4, F.lit("core"))
+        .when(r == 4, F.lit("rescue"))
+        .when(r < 9, F.lit("mint"))
+        .otherwise(F.lit("noise"))
+    )
+    text = (
+        F.when(r < 4, core_text)
+        .when(r == 4, rescue_text)
+        .when(r < 9, mint_text)
+        .otherwise(noise_text)
+    )
+    docs = o.select(
+        F.concat(
+            F.lit("https://planted.example.com/"), role, F.lit("/"),
+            F.lpad(f.cast("string"), 2, "0"), F.lit("/"),
+            F.lpad(blk.cast("string"), 6, "0"), F.lit("/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+    # eager cut: the when/junk expression tree re-nested through ~20 P1
+    # regex rules and ~7 scorer references overwhelms plan ANALYSIS (not
+    # data — 2k rows); a LogicalRDD start keeps every downstream plan flat
+    ).localCheckpoint(eager=True)
+
+    cfg = ResolverConfig()
+    cfg.clustering.ensemble_mutual_rank = True
+    cfg.scoring.edge_threshold = 0.75
+    cfg.clustering.ensemble_recall_threshold = 0.56
+    out = resolve_documents(spark, docs, cfg)
+    entity = F.min("url").over(Window.partitionBy("cluster"))
+    return out.select("url", entity.alias("entity"), "label_source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_text": _q_normalize,
@@ -948,11 +1076,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compositions (F1 + golden + property pytests).
         "simhash": _q_simhash,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_exact": _q_knn_ivf_exact,  # full-probe == brute-force oracle
         "image_features": _q_image_features,
         # the flagship composition ALSO runs under the value-hash gate on
-        # a planted decidable corpus (resolve_planted); the synthetic-web
-        # variants below exercise realistic near-dup structure rows-only
+        # a planted decidable corpus (resolve_planted), and the G5+G10
+        # ensemble arbitration path on its own planted decidable corpus
+        # (resolve_ensemble_planted); the synthetic-web variants below
+        # exercise realistic near-dup structure rows-only
         "resolve_planted": _q_resolve_planted,
+        "resolve_ensemble_planted": _q_resolve_ensemble_planted,
         "resolve_pipeline": _q_resolve_pipeline,
         "resolve_ensemble": _q_resolve_ensemble,
     }
@@ -1115,6 +1247,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cluster, lang, CAST(count(*) AS BIGINT) AS n "
             "FROM remapped GROUP BY cluster, lang"
         ),
+        # IVF at full probe is exhaustive and must equal brute force (same
+        # cosine arithmetic, same ties): identical oracle SQL
+        "knn_ivf_exact": (
+            "SELECT query_id, neighbor_id, rk AS rank FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, c.embedding) DESC, "
+            "c.vec_id ASC) AS INTEGER) AS rk "
+            "FROM embeddings q, embeddings c "
+            "WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id) WHERE rk <= 5"
+        ),
         "knn_bruteforce": (
             "SELECT query_id, neighbor_id, rk AS rank FROM ("
             "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
@@ -1162,6 +1305,41 @@ def oracle_sql() -> dict[str, str]:
             "((o_orderkey // 32) // 4) % 12 AS f "
             "FROM orders WHERE o_orderkey % 8 = 0) "
             "SELECT url, min(url) OVER (PARTITION BY f) AS entity FROM d"
+        ),
+        # G5+G10 on the planted ensemble corpus: the expected partition and
+        # label_source per doc are pure arithmetic on the doc index
+        # (role = (o_orderkey/8) % 10; family/group = the super-block);
+        # clusters normalize to min(url), as in resolve_planted. Partial
+        # trailing super-blocks: <2 cores -> singletons, <4 mint members
+        # -> no mint, exactly as the engine decides them.
+        "resolve_ensemble_planted": (
+            "WITH d AS (SELECT o_orderkey // 8 AS i, "
+            "o_orderkey // 80 AS blk, (o_orderkey // 8) % 10 AS r, "
+            "o_orderkey AS k FROM orders WHERE o_orderkey % 8 = 0), "
+            "d2 AS (SELECT *, CASE WHEN r < 4 THEN 'core' "
+            "WHEN r = 4 THEN 'rescue' WHEN r < 9 THEN 'mint' "
+            "ELSE 'noise' END AS role, "
+            "'https://planted.example.com/' || "
+            "(CASE WHEN r < 4 THEN 'core' WHEN r = 4 THEN 'rescue' "
+            "WHEN r < 9 THEN 'mint' ELSE 'noise' END) || '/' || "
+            "lpad(CAST(blk % 12 AS VARCHAR), 2, '0') || '/' || "
+            "lpad(CAST(blk AS VARCHAR), 6, '0') || '/' || k AS url FROM d), "
+            "st AS (SELECT blk, "
+            "count(*) FILTER (WHERE role = 'core') AS nc, "
+            "count(*) FILTER (WHERE role = 'mint') AS nm "
+            "FROM d2 GROUP BY blk), "
+            "g AS (SELECT d2.*, CASE "
+            "WHEN role IN ('core', 'rescue') AND st.nc >= 2 "
+            "THEN 'C' || CAST(d2.blk AS VARCHAR) "
+            "WHEN role = 'mint' AND st.nm >= 4 "
+            "THEN 'M' || CAST(d2.blk AS VARCHAR) "
+            "ELSE url END AS gk, "
+            "CASE WHEN role = 'rescue' AND st.nc >= 2 THEN 1 "
+            "WHEN role = 'mint' AND st.nm >= 4 THEN 2 "
+            "ELSE 0 END AS label_source "
+            "FROM d2 JOIN st ON d2.blk = st.blk) "
+            "SELECT url, min(url) OVER (PARTITION BY gk) AS entity, "
+            "CAST(label_source AS INT) AS label_source FROM g"
         ),
         # C13 on the planted fixture: tail variants of family f assign to
         # canonical cluster 1e10 + f; unique pages mint themselves.
