@@ -64,14 +64,29 @@ _DIRECTIONALS = {
 # every token that can END a street phrase, for the suffix-anchored split
 # (longest first so "street" wins over "st" in the alternation)
 _SUFFIX_TOKENS = sorted(
-    set(_SUFFIX_EXPANSIONS) | set(_SUFFIX_EXPANSIONS.values()) | {"way"},
+    set(_SUFFIX_EXPANSIONS)
+    | set(_SUFFIX_EXPANSIONS.values())
+    | {"way", "route", "rte"},
     key=len,
     reverse=True,
 )
 _SUFFIX_ALT = "|".join(_SUFFIX_TOKENS)
-# street phrase = number + words, ending at the LAST suffix token,
-# followed by at least one trailing (city) word
-_STREET_CITY_RE = rf"(?i)^(\d+\s+.*\b(?:{_SUFFIX_ALT}))\.?\s+(.+)$"
+# street phrase = optional number + words, ending at the LAST suffix token
+# (plus an optional route number: "US Highway 12"), followed by at least
+# one trailing (city) word. The leading number is optional so
+# intersections ("Main St & 5th Ave Rockford ...") and un-numbered
+# streets still split at the suffix boundary.
+_STREET_CITY_RE = (
+    rf"(?i)^((?:\d+\s+)?.*\b(?:{_SUFFIX_ALT})\.?(?:\s+\d+)?)\s+(.+)$"
+)
+
+# rural-route shapes: "RR 2 Box 152" / "R.R. 2" / "Rural Route 2 Box 15"
+# (libpostal files these under po_box/road; the reference consumes only
+# road, so they normalize into street_name)
+_RR_RE = (
+    r"(?i)\b(?:r\.?\s*r\.?|rural\s+route)\s*#?\s*(\d+)"
+    r"(?:\s+box\s+#?\s*(\d+))?\b"
+)
 
 # unit/suite designator + value. The value must carry a digit (not a
 # bare 5-digit zip) or be a single letter — so "Fl 2" is a unit but
@@ -88,20 +103,40 @@ _STATE_RE = r"\b([A-Z]{2})\b"
 _TAIL_RE = r"^(.*?)[\s,]+([A-Za-z]{2})\s+(\d{5})(?:-\d{4})?$"
 
 
+def _rr_street(m) -> str:
+    box = f" box {m.group(2)}" if m.group(2) else ""
+    return f"rural route {m.group(1)}{box} "
+
+
 def _expand_street(street: pd.Series) -> pd.Series:
-    """Lowercase, strip punctuation, expand trailing suffix abbreviations
-    and directional tokens."""
+    """Lowercase, strip punctuation, expand suffix abbreviations and
+    directional tokens.
+
+    Suffixes expand at the END of the street phrase (the conservative
+    default that keeps "St Marks Pl"'s inner "St" a name word) and in the
+    three other positions where a token is provably a suffix, not a name:
+    before " and " (intersections: "Main St & 5th Ave"), before a route
+    number ("US Hwy 12"), and before a trailing directional
+    ("Hwy 61 S")."""
     out = (
         street.str.lower()
+        .str.replace(r"&", " and ", regex=True)
         .str.replace(r"[^\w\s]", " ", regex=True)
         .str.replace(r"\s+", " ", regex=True)
         .str.strip()
     )
-    for abbr, full in _SUFFIX_EXPANSIONS.items():
-        out = out.str.replace(rf"\b{abbr}$", full, regex=True)
+    out = out.str.replace(_RR_RE + r"\s*", _rr_street, regex=True)
     for abbr, full in _DIRECTIONALS.items():
         out = out.str.replace(rf"\b{abbr}\b", full, regex=True)
-    return out
+    dir_alt = "|".join(_DIRECTIONALS.values())
+    for abbr, full in _SUFFIX_EXPANSIONS.items():
+        out = out.str.replace(
+            rf"\b{abbr}\b(?=$|\s+and\s|\s+\d|\s+(?:{dir_alt})$)",
+            full,
+            regex=True,
+        )
+    out = out.str.replace(r"\brte\b", "route", regex=True)
+    return out.str.replace(r"\s+", " ", regex=True).str.strip()
 
 
 def _clean_city(city: pd.Series) -> pd.Series:
@@ -128,6 +163,9 @@ def parse_address_series(addr: pd.Series) -> pd.DataFrame:
     # and "123 Main St, Rockford IL" produce identical keys
     s_clean = (
         s.str.replace(_UNIT_RE, " ", regex=True)
+        # unit-FIRST shapes ("Unit 7, 123 Main St, ...") leave a leading
+        # comma behind; drop it so the comma split sees the street first
+        .str.replace(r"^[\s,]+", "", regex=True)
         .str.replace(r"\s+,", ",", regex=True)
         .str.replace(r"\s+", " ", regex=True)
         .str.strip()
@@ -158,9 +196,17 @@ def parse_address_series(addr: pd.Series) -> pd.DataFrame:
     cs = has_comma & rest_is_tail.fillna(False) & first_split[0].notna()
     first = first.mask(cs, first_split[0])
 
-    street_number = first.str.extract(r"^\s*(\d+)\b", expand=False).fillna("")
+    # house number: digits, or a Wisconsin/Illinois-style grid number
+    # ("N4452", "W130N10497" simplifies to the leading token) — libpostal
+    # files both under house_number. A number fused to letters on the
+    # RIGHT ("5th", "61101st"?) is an ordinal street name, not a house
+    # number, so the match must end at a digit→space boundary.
+    _NUM = r"(?i)^\s*([nwse]?\d+)(?:\s|$)"
+    street_number = (
+        first.str.extract(_NUM, expand=False).fillna("").str.lower()
+    )
     street_name = _expand_street(
-        first.str.replace(r"^\s*\d+\s*", "", regex=True)
+        first.str.replace(_NUM + r"\s*", "", regex=True)
     )
 
     zips = rest.str.extract(r"\b(\d{5})(?:-\d{4})?\b", expand=False)
@@ -176,6 +222,28 @@ def parse_address_series(addr: pd.Series) -> pd.DataFrame:
     city = _clean_city(rest)
     city = city.mask(cf, _clean_city(cf_city))
     city = city.mask(cs, _clean_city(first_split[1].fillna("")))
+
+    # rural routes: street is the whole "rural route N [box B]" phrase;
+    # the suffix-anchored split would otherwise cut at "route" and push
+    # the box segment into the city
+    rr = s_clean.str.extract(_RR_RE)
+    is_rr = rr[0].notna()
+    street_name = street_name.mask(
+        is_rr,
+        (
+            "rural route " + rr[0].fillna("")
+            + (" box " + rr[1]).where(rr[1].notna(), "")
+        ).str.strip(),
+    )
+    street_number = street_number.mask(is_rr, "")
+    rr_rest = _clean_city(
+        head.str.replace(_RR_RE, " ", regex=True)
+    )
+    city = city.mask(cf & is_rr, rr_rest)
+    city = city.mask(
+        cs & is_rr,
+        _clean_city(parts[0].fillna("").str.replace(_RR_RE, " ", regex=True)),
+    )
 
     is_po = po.notna()
     street_name = street_name.mask(is_po, "po box " + po.fillna(""))

@@ -104,11 +104,18 @@ def connected_components(
 
     prev_sig = None
     for _ in range(max_iterations):
+        # TWO large/small-star rounds per checkpoint+probe: the alternating
+        # stars are idempotent once converged, so a signature taken every
+        # second round still detects convergence exactly — and round count
+        # x job-scheduling latency is the CC wall floor on small graphs
+        # (measured ~12 sub-second rounds at sf0.1), so halving the number
+        # of actions halves that floor. One extra (no-op) star pair runs
+        # when convergence lands on an odd round — two cheap narrow maps
+        # against a saved driver round trip per round.
+        e = _small_star(_large_star(e))
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # one aggregation does double duty: its count is also the emptiness
-        # check (a separate isEmpty() would cost one extra job per round —
-        # round count x job-scheduling latency is the CC wall floor on
-        # small graphs)
+        # check (a separate isEmpty() would cost one extra job per batch)
         sig_row = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),

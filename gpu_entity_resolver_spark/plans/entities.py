@@ -74,8 +74,17 @@ class _hybridmethod:
     def __get__(self, obj, objtype=None):
         import functools
 
-        target = obj if obj is not None else objtype()
-        return functools.partial(self.fn, target)
+        if obj is not None:
+            return functools.partial(self.fn, obj)
+
+        # Defer default construction to CALL time: merely referencing
+        # EntityResolver.load_model (introspection, help(), hasattr)
+        # must not construct an instance.
+        @functools.wraps(self.fn)
+        def class_form(*args, **kwargs):
+            return self.fn(objtype(), *args, **kwargs)
+
+        return class_form
 
 
 class EntityResolver:

@@ -47,6 +47,9 @@ def main() -> None:
     p.add_argument("--config", default=None,
                    help="JSON file of partial ResolverConfig overrides")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--summary", action="store_true",
+                   help="after writing, re-scan the output for row/cluster "
+                        "counts (two extra jobs; default: report paths only)")
     a = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -77,13 +80,15 @@ def main() -> None:
     out = resolve_documents(spark, docs, cfg, checkpoint_dir=a.checkpoint_dir)
     out.write.mode("overwrite").parquet(a.output)
 
-    done = spark.read.parquet(a.output)
-    print(json.dumps({
-        "input": a.input,
-        "output": a.output,
-        "rows": done.count(),
-        "clusters": done.select("cluster").distinct().count(),
-    }))
+    # default path performs ZERO post-write scans (a count + distinct over
+    # the finished output is two full extra jobs at 10^12 rows);
+    # --summary opts back in for the counts
+    report = {"input": a.input, "output": a.output}
+    if a.summary:
+        done = spark.read.parquet(a.output)
+        report["rows"] = done.count()
+        report["clusters"] = done.select("cluster").distinct().count()
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

@@ -59,7 +59,47 @@ CASES = [
     (None, "", "", "", "", ""),
     ("Main Street", "", "main street", "", "", ""),
     ("61101", "61101", "", "", "", ""),
+    # --- round-5 long tail (VERDICT r4 item 7; libpostal behavior per
+    # reference utils.py:66-97 as the spec) ---
+    # intersections: & -> and, suffixes expand on BOTH arms
+    ("5th & Main, Rockford IL 61101", "", "5th and main", "rockford", "IL", "61101"),
+    ("Main St & 5th Ave, Rockford IL 61101", "", "main street and 5th avenue", "rockford", "IL", "61101"),
+    ("Main St & 5th Ave Rockford IL 61101", "", "main street and 5th avenue", "rockford", "IL", "61101"),
+    ("Oak Ave and Elm St, Peoria IL 61602", "", "oak avenue and elm street", "peoria", "IL", "61602"),
+    # highways / numbered routes (suffix expands before a route number;
+    # comma-free split keeps the route number on the street side)
+    ("1200 US Highway 12, Genoa City WI 53128", "1200", "us highway 12", "genoa city", "WI", "53128"),
+    ("1200 US Hwy 12 Genoa City WI 53128", "1200", "us highway 12", "genoa city", "WI", "53128"),
+    # Wisconsin-style grid house number
+    ("N4452 State Route 45, Eldorado WI 54932", "n4452", "state route 45", "eldorado", "WI", "54932"),
+    # suffix expands before a trailing directional
+    ("Hwy 61 S, Natchez MS 39120", "", "highway 61 south", "natchez", "MS", "39120"),
+    ("Rte 9, Fishkill NY 12524", "", "route 9", "fishkill", "NY", "12524"),
+    # rural routes (box stays in the street phrase, not the city)
+    ("RR 2 Box 152, Glasgow KY 42141", "", "rural route 2 box 152", "glasgow", "KY", "42141"),
+    ("R.R. 2, Glasgow KY 42141", "", "rural route 2", "glasgow", "KY", "42141"),
+    ("Rural Route 2 Box 15 Glasgow KY 42141", "", "rural route 2 box 15", "glasgow", "KY", "42141"),
+    # unit BEFORE the street address
+    ("Apt 4B 123 Main St, Rockford IL 61101", "123", "main street", "rockford", "IL", "61101"),
+    ("Unit 7, 123 Main St, Rockford IL 61101", "123", "main street", "rockford", "IL", "61101"),
 ]
+
+
+def test_highway_variants_share_one_key():
+    # abbreviated and expanded route forms must land on one blocking key
+    variants = pd.Series(
+        [
+            "1200 US Highway 12, Genoa City WI 53128",
+            "1200 US Hwy 12 Genoa City WI 53128",
+            "1200 US HWY 12, Genoa City, WI 53128",
+        ]
+    )
+    out = parse_address_series(variants)
+    keys = (
+        out["street_number"] + "|" + out["street_name"] + "|" + out["city"]
+        + "|" + out["state"] + "|" + out["zip"]
+    )
+    assert keys.nunique() == 1, keys.tolist()
 
 
 @pytest.mark.parametrize("case", CASES, ids=[str(c[0])[:40] for c in CASES])

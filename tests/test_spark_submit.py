@@ -61,6 +61,7 @@ def test_spark_submit_py_files(spark, tmp_path):
             "--output", os.path.join(work, "resolved"),
             "--checkpoint-dir", os.path.join(work, "ckpt"),
             "--shuffle-partitions", "8",
+            "--summary",
         ],
         cwd=work,
         env=env,
