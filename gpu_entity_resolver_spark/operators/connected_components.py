@@ -104,18 +104,19 @@ def connected_components(
 
     prev_sig = None
     for _ in range(max_iterations):
-        # TWO large/small-star rounds per checkpoint+probe: the alternating
-        # stars are idempotent once converged, so a signature taken every
-        # second round still detects convergence exactly — and round count
-        # x job-scheduling latency is the CC wall floor on small graphs
-        # (measured ~12 sub-second rounds at sf0.1), so halving the number
-        # of actions halves that floor. One extra (no-op) star pair runs
-        # when convergence lands on an odd round — two cheap narrow maps
-        # against a saved driver round trip per round.
-        e = _small_star(_large_star(e))
+        # Measured dead end (round 5): batching TWO star pairs per
+        # checkpoint+probe to halve driver round trips is 2x SLOWER, not
+        # faster (interleaved same-window A/B on the bench graph, min-of-3:
+        # 1.83 s one-pair vs 3.60 s two-pair). Each star references its
+        # input edge set several times (union + groupBy + join), so an
+        # UN-checkpointed first pair gets re-derived through the second
+        # pair's plan — the recompute costs more than the saved probe jobs.
+        # Keep exactly one materialization per star pair.
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # one aggregation does double duty: its count is also the emptiness
-        # check (a separate isEmpty() would cost one extra job per batch)
+        # check (a separate isEmpty() would cost one extra job per round —
+        # round count x job-scheduling latency is the CC wall floor on
+        # small graphs)
         sig_row = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
