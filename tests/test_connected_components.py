@@ -81,3 +81,56 @@ def test_random_erdos_renyi(spark, seed):
 
 def test_duplicate_and_reversed_edges(spark):
     run_case(spark, [(1, 2), (2, 1), (1, 2), (3, 2)])
+
+
+# --- round 5: partition-local contraction (local_contract=True default) ---
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_contract_equals_star_only_on_adversarial_partitioning(spark, seed):
+    """The contraction pre-phase must be EXACTLY equivalent to star-only,
+    for any physical partitioning — nodes spread across many partitions
+    exercise the boundary-graph merge."""
+    rng = random.Random(seed)
+    n = 200
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(rng.randrange(100, 500))
+    ]
+    df = (
+        spark.createDataFrame(edges, "src long, dst long")
+        .repartition(16)  # scatter every component across partitions
+    )
+    got_contract = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, local_contract=True).collect()
+    }
+    got_star = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, local_contract=False).collect()
+    }
+    assert got_contract == got_star == union_find_oracle(edges)
+
+
+def test_contract_long_chain_across_partitions(spark):
+    # a single path component scattered over 32 partitions: every partition
+    # holds disconnected fragments, so the answer exists ONLY in the
+    # boundary graph — the worst case for local contraction
+    edges = [(i, i + 1) for i in range(500)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(32)
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == {v: 0 for v in range(501)}
+
+
+def test_contract_negative_ids(spark):
+    # doc_ids are xxhash64 longs — min-convention must hold for negatives
+    edges = [(-5, 3), (3, -9), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(4)
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == {-9: -9, -5: -9, 3: -9, 7: 7, 8: 7}
