@@ -32,6 +32,20 @@ from ..operators.scoring import edges_above_threshold, make_jw_udf, score_pairs
 from ..sources.checkpoint import CheckpointManager
 
 
+def _cluster_sig(members: DataFrame) -> DataFrame:
+    """Per-cluster membership signature: (count, bit_xor of doc_id hashes).
+
+    Two clusters carry equal signatures iff their member sets are identical
+    (xor collision odds are 2^-64 per pair; a collision's only consequence is
+    reusing a stale canonical text, never a partition change). One map-side
+    partial agg, O(clusters) output — the cheap test that lets the finalize
+    stage skip re-electing canonicals for clusters hygiene never touched."""
+    return members.groupBy("cluster").agg(
+        F.count("*").alias("_sig_n"),
+        F.bit_xor(F.xxhash64("doc_id")).alias("_sig_x"),
+    )
+
+
 def prepare_documents(docs: DataFrame, cfg: ResolverConfig) -> DataFrame:
     """Stage 1: extraction + normalization + stable doc ids."""
     body = extracted_text(F.col("html"), F.col("text"))
@@ -217,7 +231,20 @@ def resolve_documents(
                 ratio_threshold=cfg.clustering.attachment_ratio_threshold,
             )
         if cfg.clustering.merge_similar:
-            canon0 = canonical_map(out, "cluster", "norm_text")
+            # The pre-merge election is reused by the finalize stage for
+            # every cluster hygiene leaves untouched (the vast majority —
+            # merge/consolidate/split each relabel a handful), so the
+            # full-corpus collect_list shuffle + election runs ONCE per
+            # job, not twice. eager localCheckpoints pin both frames so
+            # finalize reads cached results instead of replaying the
+            # hygiene plan. Session-local only: on checkpoint-resume of a
+            # committed 04b stage this closure never runs and finalize
+            # falls back to a full election.
+            canon0 = canonical_map(out, "cluster", "norm_text").localCheckpoint(
+                eager=True
+            )
+            _election_reuse["canon0"] = canon0
+            _election_reuse["sig0"] = _cluster_sig(out).localCheckpoint(eager=True)
             out = merge_similar_clusters(out, canon0, cfg)
         if cfg.clustering.consolidate_identical:
             out = consolidate_identical_entities(out, "norm_text", "cluster")
@@ -225,10 +252,33 @@ def resolve_documents(
             out = split_clusters_by(out, "lang", "cluster")
         return out
 
+    _election_reuse: dict[str, DataFrame] = {}
     clustered = ckpt.stage("04b_hygiene", build_hygiene)
 
     def build_resolved() -> DataFrame:
-        canon = canonical_map(clustered, "cluster", "norm_text")
+        canon0 = _election_reuse.get("canon0")
+        sig0 = _election_reuse.get("sig0")
+        if canon0 is not None:
+            # Incremental re-election: a final cluster whose id AND
+            # membership signature match the pre-merge state elected the
+            # same canonical text — reuse it. Only clusters hygiene
+            # actually touched (absent id or changed signature) pay the
+            # collect_list + election again.
+            unchanged = (
+                _cluster_sig(clustered)
+                .join(sig0, ["cluster", "_sig_n", "_sig_x"])
+                .select("cluster")
+                .localCheckpoint(eager=True)
+            )
+            canon = canon0.join(unchanged, "cluster", "leftsemi").unionByName(
+                canonical_map(
+                    clustered.join(unchanged, "cluster", "left_anti"),
+                    "cluster",
+                    "norm_text",
+                )
+            )
+        else:
+            canon = canonical_map(clustered, "cluster", "norm_text")
         # cluster_probability analog: mean incident edge score per doc
         # (reference HDBSCAN probabilities, resolver.py:450 → SURVEY G7).
         incident = (
