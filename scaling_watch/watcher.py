@@ -78,14 +78,17 @@ def run_probe() -> float | None:
 
 
 def snapshot_repo() -> None:
-    subprocess.run(
-        [
-            "rsync", "-a", "--delete",
-            "--exclude", ".git", "--exclude", "__pycache__",
-            "--exclude", "scaling_watch",
-            REPO + "/", SNAP + "/",
-        ],
-        check=True,
+    # no rsync on this host (learned the hard way: the 15:16 forced fire
+    # crashed on FileNotFoundError) — shutil does the same job
+    import shutil
+
+    shutil.rmtree(SNAP, ignore_errors=True)
+    shutil.copytree(
+        REPO,
+        SNAP,
+        ignore=shutil.ignore_patterns(
+            ".git", "__pycache__", "scaling_watch", "*.pyc"
+        ),
     )
 
 
