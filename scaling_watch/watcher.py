@@ -35,12 +35,17 @@ FLAG = "/tmp/sg_ladder_running"
 SERIES = os.path.join(HERE, "probe_series.jsonl")
 LADDERS = os.path.join(HERE, "ladders.jsonl")
 
-FIRE_QUIET = 1.15       # ~1.2x round-3 quiet baseline (0.95 s)
-FIRE_OPP = 1.55         # opportunistic tier
-OPP_AFTER_SEC = 2 * 3600
-FORCE_AFTER_SEC = 4 * 3600
+# Round-5 retune: the host never went below probe 1.92 all round (r3's
+# quiet baseline 0.95 never recurred), and the forced pair at ~2.2 s
+# reproduced the contended 0.24-0.35 raw numbers. Fire only on windows
+# QUIETER than anything seen this round — a contended ladder adds noise,
+# not evidence. No forced tier (a forced pair is already on record).
+FIRE_QUIET = 1.50
+FIRE_OPP = 1.75         # opportunistic tier
+OPP_AFTER_SEC = 90 * 60
+FORCE_AFTER_SEC = 10 ** 9
 PROBE_INTERVAL = 8 * 60
-MAX_RUNTIME = 5 * 3600 + 15 * 60
+MAX_RUNTIME = 6 * 3600
 
 
 def log(msg: str) -> None:
