@@ -202,6 +202,14 @@ def main() -> None:
     n_docs = docs.count()
     gen_s = time.time() - t0
 
+    # Host-contention probe BEFORE the timed runs as well as after: the
+    # probe estimates the attainable pure-compute ceiling for the window,
+    # and a single draw can land on a transient noisy-neighbor spike
+    # (observed: 8.69 s at 8 cores vs ~3.8 s quiet — one bad draw poisons
+    # the whole ladder normalization). min(before, after) is the best
+    # available estimate of the window's TRUE ceiling.
+    probe_before = _probe_sec(spark)
+
     queries = entry_mod.queries()
     op_names = [] if os.environ.get("SPARK_GRAFT_RESOLVE_ONLY") else [
         "minhash_dedup",
@@ -238,7 +246,7 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
         runs.append(timings)
 
-    probe_s = _probe_sec(spark)
+    probe_s = min(probe_before, _probe_sec(spark))
     best = {k: min(r[k] for r in runs) for k in runs[0]}
     docs_per_sec = round(n_docs / best["resolve_pipeline"], 1)
     total = round(sum(best.values()), 3)
