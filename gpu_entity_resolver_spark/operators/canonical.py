@@ -22,24 +22,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _gram_codes(s: str, n_lo: int, n_hi: int) -> np.ndarray:
+    """All char n-gram occurrences of an ASCII string as uint64 codes.
+
+    A gram is packed big-endian into the high bytes of a uint64 (low bytes
+    zero), so code identity == gram identity (no gram contains NUL — the
+    caller guarantees it) and uint64 sort order == lexicographic sort order
+    of the gram strings. Replicates the slow path's short-string fallback:
+    for each n with len(s) < n the WHOLE string counts as one gram.
+    """
+    b = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.uint64)
+    shifts = (np.arange(n_hi - 1, -1, -1, dtype=np.int64) * 8).astype(np.uint64)
+    weights = np.left_shift(np.uint64(1), shifts)
+    parts = []
+    for n in range(n_lo, n_hi + 1):
+        if len(b) >= n:
+            w = np.lib.stride_tricks.sliding_window_view(b, n)
+            parts.append(w @ weights[:n])
+        else:
+            whole = b @ weights[: len(b)] if len(b) else np.uint64(0)
+            parts.append(np.array([whole], dtype=np.uint64))
+    return np.concatenate(parts)
+
+
 def _tfidf_matrix(names: list[str], n_lo: int = 3, n_hi: int = 5) -> np.ndarray:
-    """Dense sklearn-default char TF-IDF matrix for a SMALL list of strings."""
-    grams: list[Counter] = []
-    for s in names:
-        c: Counter = Counter()
-        for n in range(n_lo, n_hi + 1):
-            if len(s) >= n:
-                for i in range(len(s) - n + 1):
-                    c[s[i : i + n]] += 1
-            else:
-                c[s] += 1
-        grams.append(c)
-    vocab = {g: i for i, g in enumerate(sorted(set().union(*grams)))}
-    X = np.zeros((len(names), len(vocab)))
-    for r, c in enumerate(grams):
-        for g, tf in c.items():
-            X[r, vocab[g]] = tf
+    """Dense sklearn-default char TF-IDF matrix for a SMALL list of strings.
+
+    Two gram extractors produce the SAME matrix bit-for-bit: a vectorized
+    numpy path (windows packed to uint64 codes — used when every name is
+    NUL-free ASCII and grams fit 8 bytes, i.e. virtually always after
+    normalization) and the per-gram Python fallback. Identical tf values in
+    an identically SORTED vocabulary make every downstream float op —
+    idf scaling, L2 norm, X @ X.T — bitwise equal, so the election result
+    cannot depend on which path ran (pinned by test_canonical_fastpath.py).
+    """
     n = len(names)
+    fast = n_hi <= 8 and all(s.isascii() and "\x00" not in s for s in names)
+    if fast:
+        per = [
+            np.unique(_gram_codes(s, n_lo, n_hi), return_counts=True)
+            for s in names
+        ]
+        vocab = np.unique(np.concatenate([u for u, _ in per]))
+        X = np.zeros((n, len(vocab)))
+        for r, (u, tf) in enumerate(per):
+            X[r, np.searchsorted(vocab, u)] = tf
+    else:
+        grams: list[Counter] = []
+        for s in names:
+            c: Counter = Counter()
+            for gn in range(n_lo, n_hi + 1):
+                if len(s) >= gn:
+                    for i in range(len(s) - gn + 1):
+                        c[s[i : i + gn]] += 1
+                else:
+                    c[s] += 1
+            grams.append(c)
+        vmap = {g: i for i, g in enumerate(sorted(set().union(*grams)))}
+        X = np.zeros((n, len(vmap)))
+        for r, c in enumerate(grams):
+            for g, tf in c.items():
+                X[r, vmap[g]] = tf
     df = (X > 0).sum(axis=0)
     idf = np.log((1.0 + n) / (1.0 + df)) + 1.0
     X = X * idf
@@ -48,21 +91,34 @@ def _tfidf_matrix(names: list[str], n_lo: int = 3, n_hi: int = 5) -> np.ndarray:
     return X / norms
 
 
-def elect_canonical(names: pd.Series) -> str:
-    """Exact V11 formula on one cluster's member texts."""
-    if names.empty:
+def _elect_canonical_list(names: list[str]) -> str:
+    """Exact V11 formula on one cluster's member texts (plain-list core).
+
+    Identical math to the pandas form: ``uniq`` keeps first-appearance
+    order (dict.fromkeys == pd.unique), frequencies are the same float
+    divisions, and the matrix/argmax path is shared — per-cluster pandas
+    Series/value_counts construction was pure overhead at thousands of
+    clusters per Arrow batch."""
+    if not names:
         return ""
-    uniq = pd.unique(names)
-    if len(uniq) == 1:
-        return uniq[0]
-    X = _tfidf_matrix(list(uniq))
+    counts = Counter(names)
+    if len(counts) == 1:
+        return names[0]
+    uniq = list(dict.fromkeys(names))
+    X = _tfidf_matrix(uniq)
     sim = X @ X.T
-    counts = names.value_counts()
-    freq = counts.reindex(uniq).fillna(0).to_numpy() / float(len(names))
+    freq = np.array([counts[u] for u in uniq], dtype=np.float64) / float(
+        len(names)
+    )
     base = sim @ freq + freq
     lengths = np.array([len(u) for u in uniq], dtype=np.float64)
     bonus = np.minimum(np.log(lengths + 1.0), 3.5)
     return uniq[int(np.argmax(base * bonus))]
+
+
+def elect_canonical(names: pd.Series) -> str:
+    """Exact V11 formula on one cluster's member texts."""
+    return _elect_canonical_list(list(names))
 
 
 def canonical_map(
@@ -88,7 +144,7 @@ def canonical_map(
                 {
                     "cluster": pdf["cluster"],
                     "canonical_text": [
-                        elect_canonical(pd.Series(ns)) for ns in pdf["_names"]
+                        _elect_canonical_list(list(ns)) for ns in pdf["_names"]
                     ],
                     "cluster_size": [len(ns) for ns in pdf["_names"]],
                 }
