@@ -9,6 +9,8 @@ from collections import Counter
 
 import numpy as np
 import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from gpu_entity_resolver_spark.operators.canonical import (
     _gram_codes,
@@ -108,3 +110,27 @@ def test_election_unchanged_on_both_paths():
         lengths = np.array([len(u) for u in uniq], dtype=np.float64)
         bonus = np.minimum(np.log(lengths + 1.0), 3.5)
         assert got == uniq[int(np.argmax(base_score * bonus))]
+
+
+_ascii_name = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=127), max_size=60
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_ascii_name, min_size=1, max_size=6))
+def test_matrix_bitwise_parity_hypothesis(names):
+    # any NUL-free ASCII input: fast path must equal the spec bit-for-bit
+    assert np.array_equal(_tfidf_matrix(names), _slow_matrix(names))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(max_size=40),  # full unicode, may force the fallback path
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_matrix_parity_any_unicode_hypothesis(names):
+    assert np.array_equal(_tfidf_matrix(names), _slow_matrix(names))
