@@ -183,3 +183,38 @@ def test_checkpoint_resume(spark, corpus):
         assert rows1 == rows2
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_resolve_deterministic_across_parallelism(spark, corpus):
+    """North-rule invariant, end to end: the RESOLVED output — cluster
+    partition, canonical text, review flags — is identical no matter how
+    the input is partitioned. Every ordering the pipeline relies on is
+    explicit (xxhash salting, rank windows with doc_id tie-breaks,
+    min-based CC labels, deterministic election), so repartitioning the
+    input must not move a single document. Float aggregates
+    (avg_pair_score, confidence) are compared rounded: their summation
+    ORDER legitimately varies with partitioning."""
+    docs = corpus.select(*INPUT_COLUMNS)
+    outs = []
+    for nparts in (3, 29):
+        res = resolve_documents(spark, docs.repartition(nparts))
+        outs.append(
+            res.select(
+                "doc_id",
+                "cluster",
+                "canonical_text",
+                "cluster_size",
+                "needs_review",
+                F.round("confidence_score", 6).alias("conf6"),
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    a, b = outs
+    assert len(a) == len(b)
+    # identical cluster PARTITION (labels are min-vertex ids — comparable
+    # directly), identical canonicals, identical flags
+    for col in ("cluster", "canonical_text", "cluster_size", "needs_review"):
+        assert a[col].equals(b[col]), col
+    assert (a["conf6"] - b["conf6"]).abs().max() <= 1e-6
