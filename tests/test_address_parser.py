@@ -148,3 +148,35 @@ def test_vectorized_batch_alignment():
         "main street", "po box 57", "ocean drive", ""
     ]
     assert out["state"].tolist() == ["IL", "IL", "FL", ""]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=80),  # arbitrary unicode junk
+            st.text(
+                alphabet="0123456789 abcdefghijklmnopqrstuvwxyz.,#&-", max_size=80
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_parser_total_on_arbitrary_input(rows):
+    """Web-scale crash safety: the parser is TOTAL — any batch of junk
+    (None, unicode, control chars, commas everywhere) parses without
+    raising, returns one aligned row per input with the full column set,
+    and every output is a string (no NaN leaks into downstream keys)."""
+    out = parse_address_series(pd.Series(rows, dtype=object))
+    assert list(out.columns) == [
+        "street_number", "street_name", "city", "state", "zip"
+    ]
+    assert len(out) == len(rows)
+    for col in out.columns:
+        assert out[col].map(lambda v: isinstance(v, str)).all(), col
