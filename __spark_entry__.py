@@ -655,6 +655,20 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Survivorship: longest-text winner per near-dup group, pass-through
+    # for ungrouped docs (operators/dedup.py:dedup_survivors)
+    from gpu_entity_resolver_spark.operators.dedup import (
+        dedup_survivors,
+        minhash_dedup,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_survivors(
+        docs, minhash_dedup(docs, "doc_id", "text"), policy="longest"
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash fingerprints + 16-bit bands
     from gpu_entity_resolver_spark.operators.dedup import simhash_bands
@@ -1067,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_soundex": _q_phonetic_soundex,     # SQL soundex oracle
         "connected_components": _q_connected_components,  # recursive-CTE oracle
         "minhash_dedup": _q_minhash_dedup,           # exact TF-IDF replay oracle
+        "dedup_survivors": _q_dedup_survivors,       # same replay + winner window
         "assign_new": _q_assign_new,                 # planted-fixture oracle
         "ngram_jaccard": _q_ngram_jaccard,           # exact all-pairs oracle
         # rows-only (no oracle_sql entry — genuinely non-SQL-expressible):
@@ -1107,6 +1122,55 @@ def _collapse_runs_sql(expr: str) -> str:
         for _ in range(3):
             expr = f"replace({expr}, '{d}{d}', '{d}')"
     return expr
+
+
+# Shared exact ground truth for the MinHash-LSH near-dup pipeline
+# (operators/dedup.py:minhash_dedup): the full TF-IDF formula replayed in
+# SQL — char-4-gram codes byte-packed exactly like shingles._doc_term_counts
+# (ASCII corpus; width tag at bit 48), sublinear tf * smoothed idf, top-64
+# per doc by (weight desc, code asc), float32-rounded L2 normalization —
+# then exact ALL-pairs cosine at the 0.85 threshold and connected
+# components via a recursive transitive closure. LSH recall makes the
+# approximate and exact component sets identical on this corpus (every
+# same-group pair shares >= 1 surviving band key). Used by the
+# minhash_dedup and dedup_survivors oracles.
+_MINHASH_CTES = (
+    "WITH RECURSIVE "
+    "norm AS (SELECT doc_id, lower(coalesce(text, '')) AS nt "
+    "FROM documents), "
+    "nn AS (SELECT count(*) AS n FROM norm), "
+    "grams AS (SELECT doc_id, "
+    "ord(substring(nt, CAST(i AS INT), 1)) "
+    "+ 256 * ord(substring(nt, CAST(i AS INT) + 1, 1)) "
+    "+ 65536 * ord(substring(nt, CAST(i AS INT) + 2, 1)) "
+    "+ 16777216 * ord(substring(nt, CAST(i AS INT) + 3, 1)) "
+    "+ (CAST(4 AS BIGINT) << 48) AS h "
+    "FROM (SELECT doc_id, nt, unnest(range(1, length(nt) - 2)) AS i "
+    "FROM norm)), "
+    "tf AS (SELECT doc_id, h, count(*) AS tf FROM grams GROUP BY 1, 2), "
+    "dfq AS (SELECT h, count(*) AS df FROM tf GROUP BY 1), "
+    "w AS (SELECT t.doc_id, t.h, "
+    "(1.0 + ln(t.tf)) * (ln((1.0 + nn.n) / (1.0 + d.df)) + 1.0) AS w_raw "
+    "FROM tf t JOIN dfq d USING (h) CROSS JOIN nn), "
+    "kept AS (SELECT doc_id, h, w_raw FROM ("
+    "SELECT doc_id, h, w_raw, row_number() OVER ("
+    "PARTITION BY doc_id ORDER BY w_raw DESC, h ASC) AS rn FROM w) "
+    "WHERE rn <= 64), "
+    "vecs AS (SELECT doc_id, h, CAST(w_raw / sqrt(sum(w_raw * w_raw) "
+    "OVER (PARTITION BY doc_id)) AS FLOAT) AS wn FROM kept), "
+    "prs AS (SELECT a.doc_id AS src, b.doc_id AS dst, "
+    "sum(CAST(a.wn AS DOUBLE) * CAST(b.wn AS DOUBLE)) AS cos "
+    "FROM vecs a JOIN vecs b ON a.h = b.h AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "sym AS (SELECT src, dst FROM prs WHERE cos >= 0.85 "
+    "UNION ALL SELECT dst, src FROM prs WHERE cos >= 0.85), "
+    "reach(a, b) AS (SELECT src, dst FROM sym "
+    "UNION SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src), "
+    "labels AS (SELECT a AS doc_id, least(a, min(b)) AS dup_group "
+    "FROM reach GROUP BY a), "
+    "sizes AS (SELECT dup_group, CAST(count(*) AS BIGINT) AS "
+    "group_size FROM labels GROUP BY 1) "
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1481,55 +1545,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM corpus a, corpus b WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.e, b.e) >= 0.95"
         ),
-        # Exact ground truth for the MinHash-LSH near-dup pipeline
-        # (operators/dedup.py:minhash_dedup): the full TF-IDF formula is
-        # replayed in SQL — char-4-gram codes byte-packed exactly like
-        # shingles._doc_term_counts (ASCII corpus; width tag at bit 48),
-        # sublinear tf * smoothed idf, top-64 per doc by (weight desc, code
-        # asc), float32-rounded L2 normalization — then exact ALL-pairs
-        # cosine at the 0.85 threshold and connected components via a
-        # recursive transitive closure. LSH recall makes the approximate
-        # and exact component sets identical on this corpus (every
-        # same-group pair shares >= 1 surviving band key).
+        # Exact MinHash-LSH near-dup ground truth (see _MINHASH_CTES)
         "minhash_dedup": (
-            "WITH RECURSIVE "
-            "norm AS (SELECT doc_id, lower(coalesce(text, '')) AS nt "
-            "FROM documents), "
-            "nn AS (SELECT count(*) AS n FROM norm), "
-            "grams AS (SELECT doc_id, "
-            "ord(substring(nt, CAST(i AS INT), 1)) "
-            "+ 256 * ord(substring(nt, CAST(i AS INT) + 1, 1)) "
-            "+ 65536 * ord(substring(nt, CAST(i AS INT) + 2, 1)) "
-            "+ 16777216 * ord(substring(nt, CAST(i AS INT) + 3, 1)) "
-            "+ (CAST(4 AS BIGINT) << 48) AS h "
-            "FROM (SELECT doc_id, nt, unnest(range(1, length(nt) - 2)) AS i "
-            "FROM norm)), "
-            "tf AS (SELECT doc_id, h, count(*) AS tf FROM grams GROUP BY 1, 2), "
-            "dfq AS (SELECT h, count(*) AS df FROM tf GROUP BY 1), "
-            "w AS (SELECT t.doc_id, t.h, "
-            "(1.0 + ln(t.tf)) * (ln((1.0 + nn.n) / (1.0 + d.df)) + 1.0) AS w_raw "
-            "FROM tf t JOIN dfq d USING (h) CROSS JOIN nn), "
-            "kept AS (SELECT doc_id, h, w_raw FROM ("
-            "SELECT doc_id, h, w_raw, row_number() OVER ("
-            "PARTITION BY doc_id ORDER BY w_raw DESC, h ASC) AS rn FROM w) "
-            "WHERE rn <= 64), "
-            "vecs AS (SELECT doc_id, h, CAST(w_raw / sqrt(sum(w_raw * w_raw) "
-            "OVER (PARTITION BY doc_id)) AS FLOAT) AS wn FROM kept), "
-            "prs AS (SELECT a.doc_id AS src, b.doc_id AS dst, "
-            "sum(CAST(a.wn AS DOUBLE) * CAST(b.wn AS DOUBLE)) AS cos "
-            "FROM vecs a JOIN vecs b ON a.h = b.h AND a.doc_id < b.doc_id "
-            "GROUP BY 1, 2), "
-            "sym AS (SELECT src, dst FROM prs WHERE cos >= 0.85 "
-            "UNION ALL SELECT dst, src FROM prs WHERE cos >= 0.85), "
-            "reach(a, b) AS (SELECT src, dst FROM sym "
-            "UNION SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src), "
-            "labels AS (SELECT a AS doc_id, least(a, min(b)) AS dup_group "
-            "FROM reach GROUP BY a), "
-            "sizes AS (SELECT dup_group, CAST(count(*) AS BIGINT) AS "
-            "group_size FROM labels GROUP BY 1) "
-            "SELECT l.doc_id, l.dup_group, s.group_size "
+            _MINHASH_CTES
+            + "SELECT l.doc_id, l.dup_group, s.group_size "
             "FROM labels l JOIN sizes s USING (dup_group) "
             "WHERE s.group_size >= 2"
+        ),
+        # Survivorship over the same exact near-dup ground truth: one
+        # winner per group by (text length desc, doc_id asc), every
+        # ungrouped doc passes through with a null dup_group — replays
+        # operators/dedup.py:dedup_survivors(policy='longest').
+        "dedup_survivors": (
+            _MINHASH_CTES
+            + ", members AS (SELECT l.doc_id, l.dup_group "
+            "FROM labels l JOIN sizes s USING (dup_group) "
+            "WHERE s.group_size >= 2), "
+            "winners AS (SELECT doc_id, dup_group FROM ("
+            "SELECT m.doc_id, m.dup_group, row_number() OVER ("
+            "PARTITION BY m.dup_group "
+            "ORDER BY length(coalesce(d.text, '')) DESC, m.doc_id ASC) AS rn "
+            "FROM members m JOIN documents d USING (doc_id)) WHERE rn = 1) "
+            "SELECT d.doc_id, CAST(NULL AS BIGINT) AS dup_group "
+            "FROM documents d "
+            "WHERE d.doc_id NOT IN (SELECT doc_id FROM members) "
+            "UNION ALL SELECT doc_id, dup_group FROM winners"
         ),
         # G4 exact ground truth: transitive closure via recursive CTE,
         # min-vertex labeling — the SQL oracle analog of the union-find

@@ -308,3 +308,55 @@ def embedding_neardup_pairs(
         .select("src", "dst", (dot / (norm_a * norm_b)).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    policy: str = "longest",
+    text_col: str = "text",
+) -> DataFrame:
+    """Survivorship selection — the step a training-data pipeline actually
+    deletes with: given near-dup ``groups`` (doc_id, dup_group) from any of
+    the dedup operators above, return one row per SURVIVING document as
+    (doc_id, dup_group), dup_group null for docs in no group.
+
+    Policies:
+    - ``"longest"``: keep the longest text per group (quality-first; the
+      usual choice for web training corpora), ties by min doc_id;
+    - ``"min_id"``: keep the smallest id (stable, text-independent).
+
+    Scale shape: the rank window runs only over GROUP MEMBERS (a small
+    fraction of the corpus), the pass-through is one anti-join on doc_id,
+    and no text ever shuffles — only (id, length).
+    """
+    from pyspark.sql import Window
+
+    g = groups.select(F.col("doc_id"), "dup_group")
+    if policy == "min_id":
+        winners = g.groupBy("dup_group").agg(F.min("doc_id").alias("doc_id"))
+    elif policy == "longest":
+        members = g.join(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_len"),
+            ),
+            "doc_id",
+        )
+        w = Window.partitionBy("dup_group").orderBy(
+            F.desc("_len"), F.asc("doc_id")
+        )
+        winners = (
+            members.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", "dup_group")
+        )
+    else:
+        raise ValueError(f"unknown survivorship policy: {policy!r}")
+    ungrouped = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(g.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("dup_group", F.lit(None).cast("long"))
+    )
+    return ungrouped.unionByName(winners.select("doc_id", "dup_group"))
