@@ -669,6 +669,16 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LLM sequence packing: context-budget packs via bucketed running-sum
+    # (operators/packing.py:pack_documents)
+    from gpu_entity_resolver_spark.operators.packing import pack_documents
+
+    return pack_documents(
+        _read(spark, sf_dir, "documents"), token_budget=2048, n_buckets=16
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash fingerprints + 16-bit bands
     from gpu_entity_resolver_spark.operators.dedup import simhash_bands
@@ -1082,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,  # recursive-CTE oracle
         "minhash_dedup": _q_minhash_dedup,           # exact TF-IDF replay oracle
         "dedup_survivors": _q_dedup_survivors,       # same replay + winner window
+        "pack_documents": _q_pack_documents,         # window-arithmetic oracle
         "assign_new": _q_assign_new,                 # planted-fixture oracle
         "ngram_jaccard": _q_ngram_jaccard,           # exact all-pairs oracle
         # rows-only (no oracle_sql entry — genuinely non-SQL-expressible):
@@ -1122,6 +1133,11 @@ def _collapse_runs_sql(expr: str) -> str:
         for _ in range(3):
             expr = f"replace({expr}, '{d}{d}', '{d}')"
     return expr
+
+
+from gpu_entity_resolver_spark.functions.textstats import token_count_sql as _tcs
+
+_TOKEN_COUNT_SQL_TEXT = _tcs("text")
 
 
 # Shared exact ground truth for the MinHash-LSH near-dup pipeline
@@ -1544,6 +1560,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS src, b.vec_id AS dst "
             "FROM corpus a, corpus b WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(a.e, b.e) >= 0.95"
+        ),
+        # Sequence packing replayed with the same window arithmetic:
+        # whitespace token counts (textstats.token_count_sql), buckets by
+        # positive modulus, linear running-sum pack ids
+        # (operators/packing.py:pack_documents).
+        "pack_documents": (
+            "WITH toks AS (SELECT doc_id, "
+            + _TOKEN_COUNT_SQL_TEXT
+            + " AS n_tokens, "
+            "((doc_id % 16) + 16) % 16 AS bucket FROM documents), "
+            "packed AS (SELECT doc_id, n_tokens, bucket, "
+            "sum(n_tokens) OVER (PARTITION BY bucket "
+            "ORDER BY n_tokens DESC, doc_id ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM toks) "
+            "SELECT doc_id, n_tokens, bucket, "
+            "bucket * 4294967296 + "
+            "CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id "
+            "FROM packed"
         ),
         # Exact MinHash-LSH near-dup ground truth (see _MINHASH_CTES)
         "minhash_dedup": (
