@@ -679,6 +679,19 @@ def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination: the deterministic ~1% slice
+    # pmod(doc_id, 97) == 0 plays the eval set; every doc is flagged with
+    # its 13-gram hit count (operators/decontaminate.py)
+    from gpu_entity_resolver_spark.operators.decontaminate import (
+        decontaminate_flags,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select("text")
+    return decontaminate_flags(docs, bench, n=13)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash fingerprints + 16-bit bands
     from gpu_entity_resolver_spark.operators.dedup import simhash_bands
@@ -1093,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": _q_minhash_dedup,           # exact TF-IDF replay oracle
         "dedup_survivors": _q_dedup_survivors,       # same replay + winner window
         "pack_documents": _q_pack_documents,         # window-arithmetic oracle
+        "decontaminate": _q_decontaminate,           # gram-string join oracle
         "assign_new": _q_assign_new,                 # planted-fixture oracle
         "ngram_jaccard": _q_ngram_jaccard,           # exact all-pairs oracle
         # rows-only (no oracle_sql entry — genuinely non-SQL-expressible):
@@ -1579,6 +1593,31 @@ def oracle_sql() -> dict[str, str]:
             "bucket * 4294967296 + "
             "CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id "
             "FROM packed"
+        ),
+        # Decontamination replayed on the GRAM STRINGS themselves (DuckDB
+        # has no xxhash64; Spark joins on 64-bit gram hashes, the oracle
+        # on the underlying strings — identical counts barring a 2^-64
+        # hash collision, which the fixed corpus pins as absent):
+        # whitespace-lowercase tokens, 13-token windows, the
+        # pmod(doc_id, 97)=0 slice as the benchmark
+        # (operators/decontaminate.py:decontaminate_flags).
+        "decontaminate": (
+            "WITH tok AS (SELECT doc_id, list_filter("
+            "regexp_split_to_array(lower(trim(coalesce(text, ''))), "
+            "'\\s+'), x -> x <> '') AS t FROM documents), "
+            "bench AS (SELECT t FROM tok "
+            "WHERE ((doc_id % 97) + 97) % 97 = 0), "
+            "bgrams AS (SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g "
+            "FROM (SELECT t, unnest(range(1, CAST(len(t) AS BIGINT) - 11)) "
+            "AS i FROM bench)), "
+            "dgrams AS (SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g "
+            "FROM (SELECT doc_id, t, unnest(range(1, "
+            "CAST(len(t) AS BIGINT) - 11)) AS i FROM tok)), "
+            "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits "
+            "FROM dgrams JOIN bgrams USING (g) GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, "
+            "coalesce(h.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id)"
         ),
         # Exact MinHash-LSH near-dup ground truth (see _MINHASH_CTES)
         "minhash_dedup": (
