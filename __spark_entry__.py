@@ -692,6 +692,17 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_flags(docs, bench, n=13)
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Composite C4/Gopher-style keep/drop gate with first-failing-rule
+    # reasons (functions/textstats.py:quality_filter)
+    from gpu_entity_resolver_spark.functions.textstats import quality_filter
+
+    flags = quality_filter(F.col("text"))
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", flags["reason"].alias("reason"), flags["keep"].alias("keep")
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash fingerprints + 16-bit bands
     from gpu_entity_resolver_spark.operators.dedup import simhash_bands
@@ -1107,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,       # same replay + winner window
         "pack_documents": _q_pack_documents,         # window-arithmetic oracle
         "decontaminate": _q_decontaminate,           # gram-string join oracle
+        "quality_filter": _q_quality_filter,         # SQL-twin renderer oracle
         "assign_new": _q_assign_new,                 # planted-fixture oracle
         "ngram_jaccard": _q_ngram_jaccard,           # exact all-pairs oracle
         # rows-only (no oracle_sql entry — genuinely non-SQL-expressible):
@@ -1149,9 +1161,13 @@ def _collapse_runs_sql(expr: str) -> str:
     return expr
 
 
-from gpu_entity_resolver_spark.functions.textstats import token_count_sql as _tcs
+from gpu_entity_resolver_spark.functions.textstats import (
+    quality_filter_sql as _qfs,
+    token_count_sql as _tcs,
+)
 
 _TOKEN_COUNT_SQL_TEXT = _tcs("text")
+_QUALITY_FILTER_SQL = _qfs("text")
 
 
 # Shared exact ground truth for the MinHash-LSH near-dup pipeline
@@ -1618,6 +1634,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, "
             "coalesce(h.n_hits, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id)"
+        ),
+        # Quality gate replayed through the DuckDB twin renderer
+        # (functions/textstats.py:quality_filter_sql — same rule order,
+        # same double arithmetic on integer counts)
+        "quality_filter": (
+            "SELECT doc_id, "
+            + _QUALITY_FILTER_SQL["reason"]
+            + " AS reason, "
+            + _QUALITY_FILTER_SQL["keep"]
+            + " AS keep FROM documents"
         ),
         # Exact MinHash-LSH near-dup ground truth (see _MINHASH_CTES)
         "minhash_dedup": (

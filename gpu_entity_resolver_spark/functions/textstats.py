@@ -156,3 +156,67 @@ def doc_fingerprint(col: Column) -> Column:
 def doc_fingerprint_sql(expr: str) -> str:
     norm = f"trim(regexp_replace(lower(coalesce({expr}, '')), '\\s+', ' ', 'g'))"
     return f"md5({norm})"
+
+
+def quality_filter(
+    col: Column,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.005,
+    min_mean_tok_len_x100: int = 150,
+    max_mean_tok_len_x100: int = 1500,
+) -> dict[str, Column]:
+    """Composite C4/Gopher-style quality gate from the quality_stats
+    signals: (reason, keep) where reason names the FIRST failing rule in a
+    fixed order ('ok' when none fails) and keep = reason == 'ok'. Ratio
+    rules compare via double multiplication of integer counts — the same
+    IEEE ops in both renderers, so the SQL twin matches exactly."""
+    s = quality_stats(col)
+    reason = (
+        F.when(s["n_tokens"] < min_tokens, F.lit("too_short"))
+        .when(s["n_tokens"] > max_tokens, F.lit("too_long"))
+        .when(
+            s["n_punct"].cast("double")
+            > F.lit(float(max_punct_ratio)) * s["n_chars"].cast("double"),
+            F.lit("punct_heavy"),
+        )
+        .when(
+            s["n_stopwords"].cast("double")
+            < F.lit(float(min_stopword_ratio)) * s["n_tokens"].cast("double"),
+            F.lit("low_stopword"),
+        )
+        .when(
+            (s["mean_tok_len_x100"] < min_mean_tok_len_x100)
+            | (s["mean_tok_len_x100"] > max_mean_tok_len_x100),
+            F.lit("tok_len_out_of_range"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return {"reason": reason, "keep": reason == F.lit("ok")}
+
+
+def quality_filter_sql(
+    expr: str,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.005,
+    min_mean_tok_len_x100: int = 150,
+    max_mean_tok_len_x100: int = 1500,
+) -> dict[str, str]:
+    s = quality_stats_sql(expr)
+    reason = (
+        "CASE "
+        f"WHEN {s['n_tokens']} < {min_tokens} THEN 'too_short' "
+        f"WHEN {s['n_tokens']} > {max_tokens} THEN 'too_long' "
+        f"WHEN CAST({s['n_punct']} AS DOUBLE) > {max_punct_ratio!r} * "
+        f"CAST({s['n_chars']} AS DOUBLE) THEN 'punct_heavy' "
+        f"WHEN CAST({s['n_stopwords']} AS DOUBLE) < {min_stopword_ratio!r} * "
+        f"CAST({s['n_tokens']} AS DOUBLE) THEN 'low_stopword' "
+        f"WHEN {s['mean_tok_len_x100']} < {min_mean_tok_len_x100} "
+        f"OR {s['mean_tok_len_x100']} > {max_mean_tok_len_x100} "
+        "THEN 'tok_len_out_of_range' "
+        "ELSE 'ok' END"
+    )
+    return {"reason": reason, "keep": f"({reason}) = 'ok'"}

@@ -80,3 +80,51 @@ def test_dual_renderers_agree_on_adversarial_strings(spark):
                 continue
             diffs.append((col, ADVERSARIAL[i][:40], a, b))
     assert not diffs, diffs[:10]
+
+
+def test_quality_filter_every_rule_fires_and_renderers_agree(spark):
+    import duckdb
+
+    from gpu_entity_resolver_spark.functions.textstats import (
+        quality_filter,
+        quality_filter_sql,
+    )
+
+    rows = [
+        (1, "short text"),                                # too_short
+        (2, "the " * 200_000),                            # too_long
+        (3, "!!! ??? *** " * 10 + "the and is " * 10),    # punct_heavy
+        (4, "zebra quark nova lumen pixel " * 10),        # low_stopword
+        (5, ("a a of " * 40).strip()),                    # tok_len too small
+        (6, ("the " + "x" * 40 + " ") * 20),              # tok_len too large
+        (7, "the quick brown fox and the lazy dog are " * 5),  # ok
+        (8, None),                                        # null -> too_short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = quality_filter(F.col("text"))
+    got = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in df.select(
+            "doc_id", flags["reason"].alias("reason"), flags["keep"].alias("keep")
+        ).collect()
+    }
+    assert got[1] == ("too_short", False)
+    assert got[2] == ("too_long", False)
+    assert got[3] == ("punct_heavy", False)
+    assert got[4] == ("low_stopword", False)
+    assert got[5] == ("tok_len_out_of_range", False)
+    assert got[6] == ("tok_len_out_of_range", False)
+    assert got[7] == ("ok", True)
+    assert got[8] == ("too_short", False)
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    sqlf = quality_filter_sql("text")
+    oracle = {
+        int(r[0]): (r[1], bool(r[2]))
+        for r in con.execute(
+            f"SELECT doc_id, {sqlf['reason']} AS reason, {sqlf['keep']} AS keep "
+            "FROM documents"
+        ).fetchall()
+    }
+    assert oracle == got
