@@ -3,12 +3,18 @@
 The reference gets Jaro-Winkler-style fuzzy semantics through GPU TF-IDF
 cosine + kNN (reference utils.py:211-232, 313-359); the north rule requires
 explicit vectorized Jaro-Winkler/Levenshtein over pandas/Arrow batches with
-no per-row Python. No similarity library ships in this environment, so the
-JW kernel below is implemented batch-vectorized in numpy: the only Python
-loop is over character positions (bounded by ``max_chars``), never over rows.
+no per-row Python. No similarity library ships in this environment, so both
+kernels are implemented batch-vectorized in numpy: the only Python loop is
+over character positions (bounded by ``max_chars``), never over rows.
 
-Levenshtein is NOT implemented here — the engine uses Spark's built-in JVM
-``levenshtein()`` (with threshold early-exit) so it stays inside codegen.
+``levenshtein_batch`` (r6) replaces the engine's use of Spark's built-in
+JVM ``levenshtein()`` in the pair scorer: the builtin runs the full
+O(L²) dynamic program row-at-a-time per pair (~17 µs/pair at L=144 —
+measured as THE dominant term of the scoring stage), while the batch
+kernel runs the same DP vectorized ACROSS pairs with int16 rows that fit
+in L2, one ``np.minimum.accumulate`` resolving the insert chain per row.
+Distances are exactly the classic unit-cost DP over code points — equal to
+Spark's builtin (pinned by tests/test_levenshtein.py).
 """
 
 from __future__ import annotations
@@ -36,6 +42,68 @@ def _encode_padded(s: pd.Series, max_chars: int) -> tuple[np.ndarray, np.ndarray
         col_idx = np.arange(len(codes)) - np.repeat(starts, lengths)
         out[row_idx, col_idx] = codes
     return out, lengths
+
+
+def levenshtein_batch(
+    a: pd.Series,
+    b: pd.Series,
+    max_chars: int = 144,
+    chunk_rows: int = 4096,
+) -> np.ndarray:
+    """Exact classic Levenshtein distance of two aligned string Series,
+    vectorized across rows (int64 result per pair).
+
+    Strings longer than ``max_chars`` code points are truncated — callers
+    must pass a bound >= their longest input for parity with the JVM
+    builtin (the scorer's content sketches are <= 3*sketch_chars by
+    construction).
+
+    Row DP with the standard cascade trick: per DP row, the substitute /
+    delete candidates ``t[j]`` are two vector ops, and the
+    insert-chain recurrence ``cur[j] = min(t[j], cur[j-1]+1)`` has the
+    closed form ``cur[j] = j + min_{k<=j}(c[k]-k)`` — one
+    ``np.minimum.accumulate``. All per-row temporaries are (chunk, L+1)
+    int16 (~1 MB at 4096 rows), so the sweep stays in cache instead of
+    DRAM."""
+    n = len(a)
+    out = np.empty(n, dtype=np.int64)
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        out[lo:hi] = _lev_chunk(a.iloc[lo:hi], b.iloc[lo:hi], max_chars)
+    return out
+
+
+def _lev_chunk(a: pd.Series, b: pd.Series, max_chars: int) -> np.ndarray:
+    A, la = _encode_padded(a, max_chars)
+    B, lb = _encode_padded(b, max_chars)
+    n = len(la)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la_max = int(la.max())
+    lb_max = int(lb.max())
+    j_range = np.arange(lb_max + 1, dtype=np.int16)[None, :]
+    prev = np.broadcast_to(j_range, (n, lb_max + 1)).astype(np.int16)
+    result = np.empty(n, dtype=np.int64)
+    result[la == 0] = lb[la == 0]
+    Bv = B[:, :lb_max]
+    c = np.empty((n, lb_max + 1), dtype=np.int16)
+    for i in range(1, la_max + 1):
+        ai = A[:, i - 1][:, None]
+        # c[j] = cell value before the insert chain: boundary at j=0,
+        # min(substitute, delete) at j>=1
+        c[:, 0] = i
+        np.minimum(
+            prev[:, :-1] + (ai != Bv),
+            prev[:, 1:] + np.int16(1),
+            out=c[:, 1:],
+        )
+        cur = np.minimum.accumulate(c - j_range, axis=1)
+        cur += j_range
+        prev = cur
+        fin = la == i
+        if fin.any():
+            result[fin] = cur[fin, lb[fin]]
+    return result
 
 
 def jaro_winkler(

@@ -118,13 +118,15 @@ def _shingle_expr(col: str, n: int) -> str:
     )
 
 
-def lsh_block_keys(
+def lsh_block_keys_jvm(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "norm_text",
     cfg: BlockingConfig | None = None,
 ) -> DataFrame:
-    """(doc_id, block_key) rows: one key per LSH band."""
+    """(doc_id, block_key) rows: one key per LSH band — all-JVM reference
+    formulation (kept as the A/B + equivalence baseline for
+    :func:`lsh_block_keys`, which emits bit-identical keys)."""
     cfg = cfg or BlockingConfig()
     r = cfg.num_perm // cfg.bands
     fwd, rev = _sort_tokens(text_col)
@@ -141,6 +143,155 @@ def lsh_block_keys(
     )
     return sig.select(
         "doc_id", F.explode(bands).alias("block_key"), "sort_key", "sort_key2"
+    )
+
+
+def lsh_block_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    cfg: BlockingConfig | None = None,
+) -> DataFrame:
+    """(doc_id, block_key) rows: one key per LSH band.
+
+    Emits EXACTLY the rows of :func:`lsh_block_keys_jvm` (pinned by
+    tests/test_lsh_numpy.py) but computes the whole signature in numpy:
+
+    - gram hashing: Spark's ``xxhash64(gram, seed)`` over a 4-byte ASCII
+      gram is ``hash_int(seed, hash_int(le_bytes, 42))`` — for XXH64 a
+      4-byte input takes exactly the one-int tail path — so ASCII docs
+      (the overwhelming case after normalization) hash ALL grams in two
+      vectorized ``hash_int`` calls over the sliding byte windows, with
+      ``np.unique`` as the exact ``array_distinct`` analog. Non-ASCII /
+      short / null texts take a per-gram ``xxh64_bytes`` fallback with the
+      same values (functions/xxh64.py, bit parity pinned by
+      tests/test_xxh64_parity.py). Deduping at hash level is signature-
+      invariant: the permutation fold takes minima, which duplicates
+      cannot change.
+    - permutation sweep: the JVM ``aggregate``/``zip_with`` fold allocates
+      a boxed 64-long array per shingle hash (higher-order Catalyst
+      functions never enter whole-stage codegen); here it is one
+      broadcasted ``hash_int`` matrix per chunk + ``np.minimum.reduceat``
+      per doc (signed minima — the JVM ``least`` compares signed longs).
+    - band keys: ``xxhash64(slice(mhs, ...), b)`` folded vectorized ACROSS
+      docs.
+
+    Guide §4.2 (vectorized native code per batch); measured: the isolated
+    key build drops ~2.3 s -> ~0.7 s at 100k docs (OPTIMIZATION_r06.md) —
+    the JVM cost was dominated by per-gram UTF8String substring churn, not
+    the fold."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.xxh64 import hash_int, hash_long, xxh64_bytes
+
+    cfg = cfg or BlockingConfig()
+    bands, num_perm = cfg.bands, cfg.num_perm
+    r = num_perm // bands
+    mod = cfg.minhash_shingle_mod
+    n_sh = cfg.shingle_size
+    seed = cfg.seed
+    fwd, rev = _sort_tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        fwd.alias("sort_key"),
+        rev.alias("sort_key2"),
+    )
+    perms = np.arange(num_perm, dtype=np.uint64)
+    le_w = (1 << (8 * np.arange(n_sh, dtype=np.int64))).astype(np.int64)
+    seed_u = np.uint64(seed)
+    spark_seed = np.uint64(42)
+    # Tile the (hashes x num_perm) permutation matrix to ~2 MB: the sweep is
+    # ~14 elementwise uint64 passes over the matrix, so DRAM-sized tiles make
+    # it memory-bandwidth-bound — L2/L3-sized tiles keep the temporaries in
+    # cache (measured ~1.5x on the 100k-doc corpus vs 32 MB tiles).
+    chunk_budget = max(256, (2 << 20) // (num_perm * 8))
+
+    def gram_hashes(t) -> np.ndarray:
+        """Distinct gram hashes of one text — exact xxhash64(gram, seed)."""
+        if t is not None and len(t) >= n_sh and t.isascii():
+            b = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+            codes = np.unique(
+                np.lib.stride_tricks.sliding_window_view(b, n_sh).astype(
+                    np.int64
+                )
+                @ le_w
+            )
+            return (
+                hash_int(seed_u, hash_int(codes.view(np.uint64), spark_seed))
+                .view(np.int64)
+            )
+        if t is None:
+            # xxhash64(NULL, seed): the null child is skipped, the int
+            # literal hashes against the initial seed 42
+            hs = {int(hash_int(seed_u, spark_seed))}
+        else:
+            grams = (
+                {t[i : i + n_sh] for i in range(len(t) - n_sh + 1)}
+                if len(t) >= n_sh
+                else {t}
+            )
+            hs = {
+                int(hash_int(seed_u, np.uint64(xxh64_bytes(g.encode("utf-8")))))
+                for g in grams
+            }
+        return np.fromiter(hs, dtype=np.uint64, count=len(hs)).view(np.int64)
+
+    def per_batch(batches):
+        for pdf in batches:
+            # deterministic shingle subsampling (keep hashes ≡ 0 mod m),
+            # whole-set fallback for short docs — same rule as the JVM form
+            subs = []
+            for t in pdf["_t"]:
+                a = gram_hashes(t)
+                if mod > 1:
+                    s = a[a % mod == 0]  # numpy % == Spark pmod for m > 0
+                    a = s if len(s) else a
+                subs.append(a)
+            lens = np.fromiter((len(a) for a in subs), dtype=np.int64)
+            n = len(subs)
+            sig = np.empty((n, num_perm), dtype=np.int64)
+            start = 0
+            while start < n:
+                stop = start
+                tot = 0
+                while stop < n and (tot == 0 or tot + lens[stop] <= chunk_budget):
+                    tot += lens[stop]
+                    stop += 1
+                flat = np.concatenate(subs[start:stop]).view(np.uint64)
+                hl = hash_long(flat, np.uint64(42))
+                # (total, num_perm) permutation hashes, then per-doc SIGNED
+                # minima via reduceat (the JVM fold inits acc = Long.MAX and
+                # takes least() over signed longs)
+                m = hash_int(perms[None, :], hl[:, None]).view(np.int64)
+                offs = np.zeros(stop - start, dtype=np.int64)
+                np.cumsum(lens[start:stop][:-1], out=offs[1:])
+                sig[start:stop] = np.minimum.reduceat(m, offs, axis=0)
+                start = stop
+            # band hash folded vectorized across docs:
+            # xxhash64(slice(mhs, b*r+1, r), b)
+            key_cols = []
+            for b in range(bands):
+                h = np.full(n, 42, dtype=np.uint64)
+                for j in range(r):
+                    h = hash_long(sig[:, b * r + j].view(np.uint64), h)
+                bh = hash_int(np.uint64(b), h).view(np.int64)
+                key_cols.append([f"mh{b}:{v}" for v in bh.tolist()])
+            out_keys = [key_cols[b][i] for i in range(n) for b in range(bands)]
+            idx = np.repeat(np.arange(n), bands)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[idx],
+                    "block_key": out_keys,
+                    "sort_key": pdf["sort_key"].to_numpy()[idx],
+                    "sort_key2": pdf["sort_key2"].to_numpy()[idx],
+                }
+            )
+
+    return base.mapInPandas(
+        per_batch,
+        "doc_id long, block_key string, sort_key string, sort_key2 string",
     )
 
 

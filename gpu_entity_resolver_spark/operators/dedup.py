@@ -112,28 +112,35 @@ def simhash64(text_col: str, shingle_size: int = 4, seed: int = 42):
     )
 
 
-def simhash64_table(
+def _simhash_shingle_hashes(text_col: str, shingle_size: int, seed: int):
+    """Distinct char-shingle xxhash64 array per doc (shared by both
+    simhash formulations — hash values are computed by the JVM either way,
+    so the fingerprint bits cannot depend on which bit-count path ran)."""
+    return F.expr(
+        f"transform(array_distinct(CASE WHEN length({text_col}) >= {shingle_size} "
+        f"THEN transform(sequence(1, length({text_col}) - {shingle_size} + 1), "
+        f"i -> substring({text_col}, i, {shingle_size})) "
+        f"ELSE array({text_col}) END), x -> xxhash64(x, {seed}))"
+    )
+
+
+def simhash64_table_agg(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_size: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """(doc_id, simhash) — same fingerprints as :func:`simhash64`, but as an
-    explode -> groupBy bit-sum instead of a per-row 64-wide boxed fold.
+    """(doc_id, simhash) as an explode -> groupBy bit-sum: 64 primitive long
+    sums + a count inside whole-stage codegen with map-side partial
+    aggregation. Bit b of the fingerprint is set iff more than half of the
+    shingle hashes have bit b set (identical tie semantics to the fold: sum
+    of +/-1 votes > 0  <=>  2*ones > n).
 
-    The fold form allocates a 64-long boxed array per shingle (O(64*S)
-    object ops per doc); this form explodes the distinct shingle hashes and
-    runs 64 primitive long sums + a count inside whole-stage codegen with
-    map-side partial aggregation. Bit b of the fingerprint is set iff more
-    than half of the shingle hashes have bit b set (identical tie semantics
-    to the fold: sum of +/-1 votes > 0  <=>  2*ones > n)."""
-    shingle_hashes = F.expr(
-        f"transform(array_distinct(CASE WHEN length({text_col}) >= {shingle_size} "
-        f"THEN transform(sequence(1, length({text_col}) - {shingle_size} + 1), "
-        f"i -> substring({text_col}, i, {shingle_size})) "
-        f"ELSE array({text_col}) END), x -> xxhash64(x, {seed}))"
-    )
+    Kept as the reference formulation (and A/B baseline) for
+    :func:`simhash64_table`, which computes the same fingerprints with a
+    per-row numpy popcount instead of the exploded aggregation."""
+    shingle_hashes = _simhash_shingle_hashes(text_col, shingle_size, seed)
     exploded = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingle_hashes).alias("h")
     )
@@ -151,6 +158,57 @@ def simhash64_table(
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
     return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash64_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, simhash) — identical fingerprints to
+    :func:`simhash64_table_agg`, computed with ZERO shuffle.
+
+    The aggregated form explodes ~L shingle-hash rows per doc and runs a
+    65-column hash aggregate over them (map-side partial agg keeps the
+    exchange small, but every exploded row still pays 64 codegen'd
+    sum-updates). Here the JVM computes the same distinct shingle-hash
+    ARRAY per doc (bit-for-bit the same xxhash64 values — hashing stays in
+    the JVM), and a mapInPandas pass counts bits per row with one numpy
+    ``unpackbits``/``packbits`` round: bit b of the fingerprint is set iff
+    2*ones_b > n over the doc's distinct hashes, exactly the aggregate
+    form's majority rule. No Exchange, no 65-agg — guide §2.4 (remove
+    shuffles outright) + §4.2 (vectorized native code per batch).
+
+    Assumes one row per ``id_col`` (the dedup contract); the aggregated
+    form would merge duplicate-id rows instead. Bit order relies on
+    little-endian int64 layout (every supported platform)."""
+    import numpy as np
+    import pandas as pd
+
+    shingle_hashes = _simhash_shingle_hashes(text_col, shingle_size, seed)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), shingle_hashes.alias("_hs")
+    )
+
+    def per_batch(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            fp = np.empty(len(ids), dtype=np.int64)
+            for i, hs in enumerate(pdf["_hs"]):
+                a = np.asarray(hs, dtype=np.int64)
+                ones = (
+                    np.unpackbits(a.view(np.uint8), bitorder="little")
+                    .reshape(len(a), 64)
+                    .sum(axis=0, dtype=np.int64)
+                )
+                fp[i] = np.packbits(ones * 2 > len(a), bitorder="little").view(
+                    np.int64
+                )[0]
+            yield pd.DataFrame({"doc_id": ids, "simhash": fp})
+
+    return base.mapInPandas(per_batch, "doc_id long, simhash long")
 
 
 def simhash_bands(

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from gpu_entity_resolver_spark.operators.dedup import (
     simhash64,
     simhash64_table,
+    simhash64_table_agg,
     simhash_bands,
 )
 
@@ -51,6 +52,31 @@ def test_simhash_table_matches_fold_expression(spark):
         .collect()
     }
     assert fold == EXPECTED
+
+
+def test_simhash_numpy_matches_agg_form(spark):
+    """The zero-shuffle numpy popcount path (r6) must reproduce the
+    aggregate form bit-for-bit on a randomized corpus — both consume the
+    same JVM-computed shingle hashes, so only the majority-count logic is
+    under test (incl. even-count ties and short-string fallbacks)."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdef gh"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        r.doc_id: r.simhash
+        for r in simhash64_table(docs, "doc_id", "text").collect()
+    }
+    agg = {
+        r.doc_id: r.simhash
+        for r in simhash64_table_agg(docs, "doc_id", "text").collect()
+    }
+    assert fast == agg
 
 
 def test_simhash_bands_cover_near_dup(spark):
