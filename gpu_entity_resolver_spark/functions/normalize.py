@@ -22,8 +22,11 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from ..config import DEFAULT_REPLACEMENTS, DEFAULT_SUFFIXES
 
@@ -57,12 +60,14 @@ def _replacement_rules(
     return rules
 
 
-def normalize_entity_text(
+def normalize_entity_text_expr(
     col: Column,
     replacements: dict[str, str] | None = None,
     suffixes: tuple[str, ...] | None = None,
 ) -> Column:
-    """P1 — entity-name normalization as a chained Column expression."""
+    """P1 — entity-name normalization as a chained Column expression (the
+    all-JVM reference formulation; kept as the equivalence baseline for the
+    fused Arrow-UDF default below)."""
     s = F.lower(F.coalesce(col, F.lit("")))
     s = F.regexp_replace(s, r"&", " and ")
     s = F.regexp_replace(s, r"\+", " and ")
@@ -72,6 +77,138 @@ def normalize_entity_text(
     for pat, rep in _replacement_rules(replacements, suffixes):
         s = F.regexp_replace(s, pat, rep)
     return F.trim(s)
+
+
+# Characters kept verbatim by the `[^a-z0-9_\s]` cleanup rule. Java's
+# default \s is exactly these six ASCII chars; everything else maps to a
+# space via the C-speed str.translate table below.
+_KEEP_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789_ \t\n\x0b\f\r"
+
+
+class _CleanupTable(dict):
+    """str.translate table: identity for [a-z0-9_\\s], space for the rest
+    (including every codepoint above 127 — nothing outside the kept ASCII
+    set survives the rule)."""
+
+    def __init__(self) -> None:
+        super().__init__({ord(c): c for c in _KEEP_CHARS})
+        for i in range(128):
+            self.setdefault(i, " ")
+
+    def __missing__(self, key: int) -> str:
+        return " "
+
+
+_CLEANUP_TABLE = _CleanupTable()
+
+
+def _fusable_word_rules(replacements: dict[str, str]) -> bool:
+    """True when the per-word replacement passes can run as ONE
+    alternation pass with a dict callback. Sequential passes equal the
+    fused pass iff (a) every key is a single space-free token (so matches
+    are whole \\b-delimited tokens and two distinct keys can never match at
+    the same position), and (b) no replacement value token equals a LATER
+    rule's key (so a rule's output can never be rewritten again)."""
+    keys = list(replacements)
+    for i, (old, new) in enumerate(replacements.items()):
+        if not old or any(ch.isspace() for ch in old):
+            return False
+        later = set(keys[i + 1 :])
+        if any(tok in later for tok in new.split()):
+            return False
+    return True
+
+
+def normalize_entity_text(
+    col: Column,
+    replacements: dict[str, str] | None = None,
+    suffixes: tuple[str, ...] | None = None,
+) -> Column:
+    """P1 — entity-name normalization, Arrow-batched.
+
+    Same rule chain (and the same ``_replacement_rules`` table) as
+    :func:`normalize_entity_text_expr`, executed in one Python pass per
+    row instead of ~22 chained JVM ``regexp_replace`` scans — measured as
+    ~93% of the pipeline's prepare stage (guide §1.2: fix the per-task
+    work). Equality with the JVM chain is pinned corpus-wide by
+    tests/test_normalize_fused.py. The semantic mapping, rule by rule:
+
+    - patterns compile with ``re.ASCII``, making Python's \\b/\\s/\\d the
+      same ASCII classes Java regex uses by default;
+    - the 17 word rules fuse into ONE alternation with a dict callback
+      when :func:`_fusable_word_rules` proves the sequential chain
+      order-independent (keys are whole tokens, no value feeds a later
+      rule) — arbitrary caller dicts that fail the proof run sequentially;
+    - ``[^a-z0-9_\\s]`` -> space is a C-speed ``str.translate``;
+    - literal ``&``/``+`` swaps are C-speed ``str.replace``;
+    - the final trim strips 0x20 only, like Spark's ``trim``.
+
+    Known residual divergence (documented, corpus-free): Java's ``$``
+    also matches before a trailing ``\\r``/NEL line terminator where
+    Python's matches only before ``\\n`` — reachable only by texts whose
+    cleaned form ends in digits + bare carriage return, which neither the
+    DuckDB oracle (RE2 ``$`` = absolute end) nor the Spark chain agree on
+    today either.
+    """
+    word_rules = [
+        (re.compile(r"\b" + re.escape(old) + r"\b", re.ASCII), new)
+        for old, new in (
+            DEFAULT_REPLACEMENTS if replacements is None else replacements
+        ).items()
+    ]
+    reps = DEFAULT_REPLACEMENTS if replacements is None else replacements
+    fused = _fusable_word_rules(reps)
+    if fused:
+        word_alt = (
+            re.compile(
+                r"\b(?:" + "|".join(re.escape(k) for k in reps) + r")\b",
+                re.ASCII,
+            )
+            if reps
+            else None
+        )
+    sfx = DEFAULT_SUFFIXES if suffixes is None else suffixes
+    suffix_re = (
+        re.compile(
+            r"\b(" + "|".join(re.escape(s) for s in sfx) + r")\b", re.ASCII
+        )
+        if sfx
+        else None
+    )
+    paren_re = re.compile(r"\([^)]*\)", re.ASCII)
+    dba_re = re.compile(_DBA_PATTERN, re.ASCII)
+    trail_num_re = re.compile(r"\s+\d+$", re.ASCII)
+    ws_re = re.compile(r"\s+", re.ASCII)
+
+    def norm_one(t) -> str:
+        s = ("" if t is None else str(t)).lower()
+        if "&" in s:
+            s = s.replace("&", " and ")
+        if "+" in s:
+            s = s.replace("+", " and ")
+        if "(" in s:
+            s = paren_re.sub("", s)
+        m = dba_re.search(s)
+        if m and m.group(1):
+            s = m.group(1)
+        if fused:
+            if word_alt is not None:
+                s = word_alt.sub(lambda mm: reps[mm.group(0)], s)
+        else:
+            for rx, new in word_rules:
+                s = rx.sub(new, s)
+        if suffix_re is not None:
+            s = suffix_re.sub("", s)
+        s = s.translate(_CLEANUP_TABLE)
+        s = trail_num_re.sub("", s)
+        s = ws_re.sub(" ", s)
+        return s.strip(" ")
+
+    @pandas_udf(StringType())
+    def norm(series: pd.Series) -> pd.Series:
+        return series.map(norm_one, na_action=None).astype(object)
+
+    return norm(col)
 
 
 def normalize_entity_text_sql(

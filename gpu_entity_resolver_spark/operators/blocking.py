@@ -416,9 +416,13 @@ def salt_blocks(
     useful = counts.where(F.col("block_n") >= 2)
     if cfg.hot_key_ceiling is not None:
         useful = useful.where(F.col("block_n") <= cfg.hot_key_ceiling)
+    # Second barrier: `joined` feeds the cold branch AND each sort order's
+    # ranged() window — without it the blocks-x-counts join (shuffling the
+    # wide sort-key columns) re-executes once per consumer, three times on
+    # the default config (guide §2.4: accidental repeated exchanges).
     joined = blocks.join(useful, "block_key").withColumn(
         "n_salts", F.ceil(F.col("block_n") / F.lit(cap)).cast("int")
-    )
+    ).localCheckpoint(eager=False)
     cold = joined.where(F.col("n_salts") <= 1).select("doc_id", "block_key")
     hot = joined.where(F.col("n_salts") >= 2)
 

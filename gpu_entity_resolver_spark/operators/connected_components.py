@@ -146,12 +146,15 @@ def _star_components(e: DataFrame, max_iterations: int) -> DataFrame:
         # input edge set several times (union + groupBy + join), so an
         # UN-checkpointed first pair is re-derived through the second
         # pair's plan — the recompute costs more than the saved probe jobs.
-        # Keep exactly one materialization per star pair.
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Keep exactly one materialization per star pair. eager=False: the
+        # signature aggregation right below is the materializing action, so
+        # each round costs ONE job (checkpoint + probe fused) instead of
+        # two — round count x job-scheduling latency is the CC wall floor
+        # on small graphs (r6 job-floor trim; lineage is still truncated
+        # once the round's job has run).
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # one aggregation does double duty: its count is also the emptiness
-        # check (a separate isEmpty() would cost one extra job per round —
-        # round count x job-scheduling latency is the CC wall floor on
-        # small graphs)
+        # check (a separate isEmpty() would cost one extra job per round)
         sig_row = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
@@ -207,6 +210,9 @@ def connected_components(
         .union(e0.select(F.col("dst").alias("vertex")))
         .distinct()
     )
+    # eager=False: the first consumer (partition-CC's groupBy, or round 1 of
+    # the star loop) materializes the canonical edge set inside its own job
+    # — no separate checkpoint job (r6 job-floor trim).
     e = (
         e0.where(F.col("src") != F.col("dst"))
         .select(
@@ -214,7 +220,7 @@ def connected_components(
             F.least("src", "dst").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     if not local_contract:
@@ -228,7 +234,9 @@ def connected_components(
         per_node = (
             part_labels.groupBy("node")
             .agg(F.min("root").alias("r0"), F.collect_set("root").alias("rs"))
-            .localCheckpoint(eager=True)  # reused by boundary AND final join
+            # reused by boundary AND final join; eager=False — boundary's
+            # first job populates the cache
+            .localCheckpoint(eager=False)
         )
         boundary = (
             per_node.select(F.col("r0").alias("src"), F.explode("rs").alias("dst"))
@@ -238,7 +246,7 @@ def connected_components(
                 F.least("src", "dst").alias("dst"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         comp = _star_components(boundary, max_iterations)
         # r0's component is the node's component; a local root whose tree

@@ -122,10 +122,14 @@ def merge_similar_clusters(
 
     cfg = cfg or ResolverConfig()
     ccfg = cfg.clustering
+    # No barrier here: `reps` is a two-column projection of `canon`, which
+    # the caller already materialized (plans/resolve.py checkpoints canon0
+    # eagerly) — a localCheckpoint of a projection of cached data only
+    # added a copy job and storage (r6 job-floor trim).
     reps = canon.select(
         F.col(cluster_col).alias("doc_id"),
         F.col("canonical_text").alias(text_col),
-    ).localCheckpoint(eager=False)
+    )
     pairs = candidate_pairs(
         blocking_keys(reps, "doc_id", text_col, cfg=cfg.blocking), cfg.blocking
     )

@@ -414,9 +414,16 @@ def doc_vector_table(
                 vecs.append(dict(zip(h_kept.tolist(), vals.tolist())))
             yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"), "vec": vecs})
 
-    return texts.select(
+    out = texts.select(
         F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
     ).mapInPandas(per_batch, f"{id_col} long, vec map<long,float>")
+    # The corpus size is already known here (the sentinel fetch above) —
+    # record it on the frame so pair_cosine_vecs can choose a broadcast
+    # join when the whole vector table is provably small (guide §3.1: the
+    # estimate-based planner sees only an opaque mapInPandas and defaults
+    # to sort-merge).
+    out._dvt_n_docs = n_docs  # type: ignore[attr-defined]
+    return out
 
 
 # Pair dot product over two pruned term->weight maps. Three formulations
@@ -452,12 +459,29 @@ def pair_cosine_vecs(
     vecs: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_max_docs: int = 400_000,
 ) -> DataFrame:
     """Cosine per candidate pair from a prebuilt (doc_id, vec) table:
-    two equi-joins + a JVM fold dot product (see pair_cosine)."""
+    two equi-joins + a JVM fold dot product (see pair_cosine).
+
+    Join strategy (guide §3.1): the vector table is a mapInPandas output,
+    so the planner has no stats and picks sort-merge — which shuffles the
+    PAIRS twice, the second time with the ~600-byte ``vec_a`` map already
+    attached (measured ~3 GB of exchange at 5.4M pairs). When the builder
+    recorded a doc count (``_dvt_n_docs``) at or below
+    ``broadcast_max_docs`` (~250 MB built at top_k=48 — comfortably inside
+    executor memory, far under the 8 GB broadcast cap), hint a broadcast:
+    both joins become BroadcastHashJoin, ReuseExchange ships ONE build, and
+    the pair table is never shuffled at all. Corpora above the bound keep
+    sort-merge — the bound is what makes this safe at the 100 TB target,
+    where the vector table is shuffle-sized. Strategy choice never changes
+    values."""
     # Barrier: the vector table feeds BOTH side joins; without it the
     # whole vector build (term counts included) runs twice.
+    n_docs = getattr(vecs, "_dvt_n_docs", None)
     vecs = vecs.localCheckpoint(eager=False)
+    if n_docs is not None and n_docs <= broadcast_max_docs:
+        vecs = F.broadcast(vecs)
     dot = _dot_expr()
     return (
         pairs.select(src_col, dst_col)
