@@ -149,6 +149,56 @@ def xxh64_bytes(data: bytes, seed: int = 42) -> int:
     return h
 
 
+_LE_W: dict[int, np.ndarray] = {}
+
+
+def gram_hashes_spark(t, n: int, seed: int) -> np.ndarray:
+    """int64 array of ``xxhash64(gram, seed)`` over the DISTINCT char
+    n-grams of ``t`` — element-for-element the multiset Spark's
+    ``transform(array_distinct(<shingles>), x -> xxhash64(x, {seed}))``
+    produces, up to ORDER (first-occurrence there, code-sorted here).
+    Hash multiplicity is preserved: two distinct grams colliding to one
+    hash yield two array entries, exactly like the JVM form — SimHash's
+    majority votes depend on that, MinHash minima don't care.
+
+    ASCII fast path: an n-byte gram takes XXH64's int tail path, so
+    ``xxhash64(gram, seed) == hash_int(seed, hash_int(le_bytes, 42))`` for
+    n == 4 — two vectorized calls over the sliding byte windows, with
+    ``np.unique`` as the exact ``array_distinct``. Non-ASCII / short /
+    null texts fall back to per-gram ``xxh64_bytes`` with the same values.
+    The short-string rule mirrors the SQL CASE: len(t) < n keeps the whole
+    string as the single gram."""
+    seed_u = np.uint64(seed)
+    if t is not None and len(t) >= n and t.isascii() and n == 4:
+        w = _LE_W.get(n)
+        if w is None:
+            w = _LE_W[n] = (1 << (8 * np.arange(n, dtype=np.int64))).astype(
+                np.int64
+            )
+        b = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+        codes = np.unique(
+            np.lib.stride_tricks.sliding_window_view(b, n).astype(np.int64) @ w
+        )
+        return hash_int(seed_u, hash_int(codes.view(np.uint64), np.uint64(42))).view(
+            np.int64
+        )
+    if t is None:
+        # xxhash64(NULL, seed): the null child is skipped, the int literal
+        # hashes against the initial seed 42
+        vals = [int(hash_int(seed_u, np.uint64(42)))]
+    else:
+        grams = (
+            dict.fromkeys(t[i : i + n] for i in range(len(t) - n + 1))
+            if len(t) >= n
+            else (t,)
+        )
+        vals = [
+            int(hash_int(seed_u, np.uint64(xxh64_bytes(g.encode("utf-8")))))
+            for g in grams
+        ]
+    return np.array(vals, dtype=np.uint64).view(np.int64)
+
+
 def xxhash64_long_array_int(values: np.ndarray, i) -> np.uint64:
     """``xxhash64(array<long>Col, intLiteral)`` — e.g. the LSH band hash
     ``xxhash64(slice(mhs, ...), b)``: fold the elements through hashLong,

@@ -183,7 +183,7 @@ def lsh_block_keys(
     import numpy as np
     import pandas as pd
 
-    from ..functions.xxh64 import hash_int, hash_long, xxh64_bytes
+    from ..functions.xxh64 import gram_hashes_spark, hash_int, hash_long
 
     cfg = cfg or BlockingConfig()
     bands, num_perm = cfg.bands, cfg.num_perm
@@ -199,44 +199,11 @@ def lsh_block_keys(
         rev.alias("sort_key2"),
     )
     perms = np.arange(num_perm, dtype=np.uint64)
-    le_w = (1 << (8 * np.arange(n_sh, dtype=np.int64))).astype(np.int64)
-    seed_u = np.uint64(seed)
-    spark_seed = np.uint64(42)
     # Tile the (hashes x num_perm) permutation matrix to ~2 MB: the sweep is
     # ~14 elementwise uint64 passes over the matrix, so DRAM-sized tiles make
     # it memory-bandwidth-bound — L2/L3-sized tiles keep the temporaries in
     # cache (measured ~1.5x on the 100k-doc corpus vs 32 MB tiles).
     chunk_budget = max(256, (2 << 20) // (num_perm * 8))
-
-    def gram_hashes(t) -> np.ndarray:
-        """Distinct gram hashes of one text — exact xxhash64(gram, seed)."""
-        if t is not None and len(t) >= n_sh and t.isascii():
-            b = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
-            codes = np.unique(
-                np.lib.stride_tricks.sliding_window_view(b, n_sh).astype(
-                    np.int64
-                )
-                @ le_w
-            )
-            return (
-                hash_int(seed_u, hash_int(codes.view(np.uint64), spark_seed))
-                .view(np.int64)
-            )
-        if t is None:
-            # xxhash64(NULL, seed): the null child is skipped, the int
-            # literal hashes against the initial seed 42
-            hs = {int(hash_int(seed_u, spark_seed))}
-        else:
-            grams = (
-                {t[i : i + n_sh] for i in range(len(t) - n_sh + 1)}
-                if len(t) >= n_sh
-                else {t}
-            )
-            hs = {
-                int(hash_int(seed_u, np.uint64(xxh64_bytes(g.encode("utf-8")))))
-                for g in grams
-            }
-        return np.fromiter(hs, dtype=np.uint64, count=len(hs)).view(np.int64)
 
     def per_batch(batches):
         for pdf in batches:
@@ -244,7 +211,7 @@ def lsh_block_keys(
             # whole-set fallback for short docs — same rule as the JVM form
             subs = []
             for t in pdf["_t"]:
-                a = gram_hashes(t)
+                a = gram_hashes_spark(t, n_sh, seed)
                 if mod > 1:
                     s = a[a % mod == 0]  # numpy % == Spark pmod for m > 0
                     a = s if len(s) else a

@@ -168,18 +168,21 @@ def simhash64_table(
     seed: int = 42,
 ) -> DataFrame:
     """(doc_id, simhash) — identical fingerprints to
-    :func:`simhash64_table_agg`, computed with ZERO shuffle.
+    :func:`simhash64_table_agg`, computed with ZERO shuffle and no JVM
+    shingling.
 
-    The aggregated form explodes ~L shingle-hash rows per doc and runs a
-    65-column hash aggregate over them (map-side partial agg keeps the
-    exchange small, but every exploded row still pays 64 codegen'd
-    sum-updates). Here the JVM computes the same distinct shingle-hash
-    ARRAY per doc (bit-for-bit the same xxhash64 values — hashing stays in
-    the JVM), and a mapInPandas pass counts bits per row with one numpy
+    The aggregated form explodes ~L shingle-hash rows per doc (one
+    UTF8String substring allocation + string XXH64 each) and runs a
+    65-column hash aggregate over them. Here ONE mapInPandas pass per doc
+    computes the same distinct-gram hash multiset in numpy
+    (functions/xxh64.gram_hashes_spark — bit parity with Spark's
+    ``xxhash64(gram, seed)`` pinned, hash multiplicity preserved because
+    the majority votes count it) and counts bits with one
     ``unpackbits``/``packbits`` round: bit b of the fingerprint is set iff
-    2*ones_b > n over the doc's distinct hashes, exactly the aggregate
-    form's majority rule. No Exchange, no 65-agg — guide §2.4 (remove
-    shuffles outright) + §4.2 (vectorized native code per batch).
+    2*ones_b > n over the doc's distinct grams, exactly the aggregate
+    form's majority rule. No Exchange, no 65-agg, no per-gram string churn
+    — guide §2.4 (remove shuffles outright) + §4.2 (vectorized native
+    code per batch).
 
     Assumes one row per ``id_col`` (the dedup contract); the aggregated
     form would merge duplicate-id rows instead. Bit order relies on
@@ -187,17 +190,18 @@ def simhash64_table(
     import numpy as np
     import pandas as pd
 
-    shingle_hashes = _simhash_shingle_hashes(text_col, shingle_size, seed)
+    from ..functions.xxh64 import gram_hashes_spark
+
     base = docs.select(
-        F.col(id_col).alias("doc_id"), shingle_hashes.alias("_hs")
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
     )
 
     def per_batch(batches):
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
             fp = np.empty(len(ids), dtype=np.int64)
-            for i, hs in enumerate(pdf["_hs"]):
-                a = np.asarray(hs, dtype=np.int64)
+            for i, t in enumerate(pdf["_t"]):
+                a = gram_hashes_spark(t, shingle_size, seed)
                 ones = (
                     np.unpackbits(a.view(np.uint8), bitorder="little")
                     .reshape(len(a), 64)

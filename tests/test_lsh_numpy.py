@@ -56,3 +56,13 @@ def test_lsh_numpy_matches_jvm_no_subsample(spark):
     assert _rows(lsh_block_keys(docs, "doc_id", "nt", cfg)) == _rows(
         lsh_block_keys_jvm(docs, "doc_id", "nt", cfg)
     )
+
+
+def test_lsh_numpy_matches_jvm_width5(spark):
+    """shingle_size != 4 cannot take the int-tail fast path — the per-gram
+    fallback must still match the JVM exactly."""
+    docs = _corpus(spark).limit(40)
+    cfg = BlockingConfig(shingle_size=5, bands=4, num_perm=32)
+    assert _rows(lsh_block_keys(docs, "doc_id", "nt", cfg)) == _rows(
+        lsh_block_keys_jvm(docs, "doc_id", "nt", cfg)
+    )

@@ -67,6 +67,12 @@ def test_simhash_numpy_matches_agg_form(spark):
         (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
         for i in range(200)
     ]
+    rows += [
+        (1000, None),
+        (1001, "héllo wörld héllo wörld non ascii"),
+        (1002, "日本語のテキストです"),
+        (1003, "mixed ascii ünd more"),
+    ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     fast = {
         r.doc_id: r.simhash
