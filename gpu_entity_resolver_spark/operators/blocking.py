@@ -380,6 +380,11 @@ def salt_blocks(
     # Blocks of size 1 produce no pairs — drop them before the join; keys
     # hotter than the df ceiling are degenerate — drop them too (the
     # aggregated counts table is tiny, so this costs one comparison).
+    # Measured dead end (r6): computing block_n as a count WINDOW so the
+    # rank windows could reuse its exchange was ~30% SLOWER — the count
+    # window shuffles the FULL wide key table (sort tokens included), while
+    # this form shuffles narrow map-side-aggregated counts plus only the
+    # HOT subset in the rank windows.
     useful = counts.where(F.col("block_n") >= 2)
     if cfg.hot_key_ceiling is not None:
         useful = useful.where(F.col("block_n") <= cfg.hot_key_ceiling)
