@@ -187,15 +187,28 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 50,
     local_contract: bool = True,
+    driver_cc_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Compute connected components of an undirected graph.
 
     Args:
         edges: DataFrame with two integer vertex columns (self-loops ignored).
         local_contract: collapse each partition's internal structure with a
-            zero-shuffle numpy union-find first, and run the distributed
-            star rounds on the (much smaller) cross-partition boundary
-            graph only. Exact — the labeling is identical either way.
+            zero-shuffle numpy union-find first, and run the star rounds on
+            the (much smaller) cross-partition boundary graph only. Exact —
+            the labeling is identical either way.
+        driver_cc_max_edges: when the contracted boundary graph has at most
+            this many edges (~16 MB of int64 pairs at the default — the
+            same order as the broadcast tables this engine already ships),
+            solve it on the DRIVER with the identical numpy union-find
+            kernel instead of iterating distributed star rounds: the
+            boundary graph is typically a few thousand edges, and each star
+            round costs a full job round-trip — the scheduling floor, not
+            the compute, is the CC wall at bench scale (guide §1.2).
+            Boundary graphs above the bound (possible at the 100 TB
+            target) take the distributed star path unchanged. The count
+            that gates this reuses the materialization job the star path
+            would have paid anyway.
 
     Returns:
         DataFrame ``(vertex: long, component: long)`` covering every vertex
@@ -248,18 +261,37 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        comp = _star_components(boundary, max_iterations)
+        n_boundary = boundary.count()  # materializes the checkpoint
+        if n_boundary == 0:
+            # no component crosses a partition: every local root is final
+            comp = None
+        elif n_boundary <= driver_cc_max_edges:
+            # bounded driver solve with the SAME kernel the partitions ran
+            pdf = boundary.toPandas()
+            res = next(_partition_cc(iter([pdf]))).rename(
+                columns={"node": "vertex", "root": "component"}
+            )
+            comp = boundary.sparkSession.createDataFrame(
+                res, schema="vertex long, component long"
+            )
+        else:
+            comp = _star_components(boundary, max_iterations)
         # r0's component is the node's component; a local root whose tree
         # never crosses a partition is absent from the boundary graph and
         # is its own component.
-        labels = (
-            per_node.select("node", "r0")
-            .join(comp, per_node["r0"] == comp["vertex"], "left")
-            .select(
-                F.col("node").alias("vertex"),
-                F.coalesce("component", "r0").alias("component"),
+        if comp is None:
+            labels = per_node.select(
+                F.col("node").alias("vertex"), F.col("r0").alias("component")
             )
-        )
+        else:
+            labels = (
+                per_node.select("node", "r0")
+                .join(comp, per_node["r0"] == comp["vertex"], "left")
+                .select(
+                    F.col("node").alias("vertex"),
+                    F.coalesce("component", "r0").alias("component"),
+                )
+            )
 
     return (
         vertices.join(labels, "vertex", "left")

@@ -134,3 +134,28 @@ def test_contract_negative_ids(spark):
         for r in connected_components(df).collect()
     }
     assert got == {-9: -9, -5: -9, 3: -9, 7: 7, 8: 7}
+
+
+# --- round 6: bounded driver solve of the boundary graph ---
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_driver_solve_equals_star_path(spark, seed):
+    """The driver union-find of a small boundary graph must label exactly
+    like the distributed star rounds (forced via driver_cc_max_edges=0)."""
+    rng = random.Random(seed)
+    n = 250
+    edges = [
+        (rng.randrange(n), rng.randrange(n))
+        for _ in range(rng.randrange(100, 500))
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(16)
+    got_driver = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    got_star = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, driver_cc_max_edges=0).collect()
+    }
+    assert got_driver == got_star == union_find_oracle(edges)
