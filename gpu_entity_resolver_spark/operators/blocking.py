@@ -70,6 +70,24 @@ def _sort_token(text_col: str) -> Column:
     return _sort_tokens(text_col)[0]
 
 
+def sort_token_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "norm_text"
+) -> DataFrame:
+    """One (doc_id, sort_key, sort_key2) row per DOC — the narrow-key
+    companion table. The wide key tables repeat both ~85-char tokens on
+    every key row (~10 rows/doc), so the salting checkpoint and join moved
+    ~10x the token bytes that exist; with narrow keys the tokens ride this
+    per-doc table and are attached ONLY to the hot-block rows that the
+    rank windows actually order (guide §8: shuffle keys and metadata,
+    attach heavy payload late and only where needed)."""
+    fwd, rev = _sort_tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        fwd.alias("sort_key"),
+        rev.alias("sort_key2"),
+    )
+
+
 def minhash_signature(text_col: str, cfg: BlockingConfig) -> Column:
     """All ``num_perm`` min-hashes as ONE array<long> column, computed in a
     single pass over the distinct char shingles.
@@ -151,8 +169,11 @@ def lsh_block_keys(
     id_col: str = "doc_id",
     text_col: str = "norm_text",
     cfg: BlockingConfig | None = None,
+    with_tokens: bool = True,
 ) -> DataFrame:
-    """(doc_id, block_key) rows: one key per LSH band.
+    """(doc_id, block_key) rows: one key per LSH band (plus the per-row
+    sort tokens when ``with_tokens`` — narrow callers pair the keys with
+    :func:`sort_token_table` instead and skip the 10x token duplication).
 
     Emits EXACTLY the rows of :func:`lsh_block_keys_jvm` (pinned by
     tests/test_lsh_numpy.py) but computes the whole signature in numpy:
@@ -191,13 +212,18 @@ def lsh_block_keys(
     mod = cfg.minhash_shingle_mod
     n_sh = cfg.shingle_size
     seed = cfg.seed
-    fwd, rev = _sort_tokens(text_col)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_t"),
-        fwd.alias("sort_key"),
-        rev.alias("sort_key2"),
-    )
+    if with_tokens:
+        fwd, rev = _sort_tokens(text_col)
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+            fwd.alias("sort_key"),
+            rev.alias("sort_key2"),
+        )
+    else:
+        base = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+        )
     perms = np.arange(num_perm, dtype=np.uint64)
     # Tile the (hashes x num_perm) permutation matrix to ~2 MB: the sweep is
     # ~14 elementwise uint64 passes over the matrix, so DRAM-sized tiles make
@@ -247,19 +273,19 @@ def lsh_block_keys(
                 key_cols.append([f"mh{b}:{v}" for v in bh.tolist()])
             out_keys = [key_cols[b][i] for i in range(n) for b in range(bands)]
             idx = np.repeat(np.arange(n), bands)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy()[idx],
-                    "block_key": out_keys,
-                    "sort_key": pdf["sort_key"].to_numpy()[idx],
-                    "sort_key2": pdf["sort_key2"].to_numpy()[idx],
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy()[idx],
+                "block_key": out_keys,
+            }
+            if with_tokens:
+                out["sort_key"] = pdf["sort_key"].to_numpy()[idx]
+                out["sort_key2"] = pdf["sort_key2"].to_numpy()[idx]
+            yield pd.DataFrame(out)
 
-    return base.mapInPandas(
-        per_batch,
-        "doc_id long, block_key string, sort_key string, sort_key2 string",
-    )
+    schema = "doc_id long, block_key string"
+    if with_tokens:
+        schema += ", sort_key string, sort_key2 string"
+    return base.mapInPandas(per_batch, schema)
 
 
 def sorted_neighborhood_keys(
@@ -267,6 +293,7 @@ def sorted_neighborhood_keys(
     id_col: str = "doc_id",
     text_col: str = "norm_text",
     cfg: BlockingConfig | None = None,
+    with_tokens: bool = True,
 ) -> DataFrame:
     """Prefix-block keys on the normalized text — the sorted-neighborhood
     analog expressed as an equi-joinable key (docs sharing the first K chars
@@ -280,16 +307,14 @@ def sorted_neighborhood_keys(
     # DBA-style prefix noise) — a second sort order, as classic sorted-
     # neighborhood uses multiple passes.
     tail = F.concat(F.lit("st:"), F.substr(squeezed, F.length(squeezed) - k + 1, F.lit(k)))
-    fwd, rev = _sort_tokens(text_col)
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array(head, tail)).alias("block_key"),
-            fwd.alias("sort_key"),
-            rev.alias("sort_key2"),
-        )
-        .where(F.length("block_key") > 3)
-    )
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(head, tail)).alias("block_key"),
+    ]
+    if with_tokens:
+        fwd, rev = _sort_tokens(text_col)
+        cols += [fwd.alias("sort_key"), rev.alias("sort_key2")]
+    return docs.select(*cols).where(F.length("block_key") > 3)
 
 
 def host_keys(
@@ -336,6 +361,7 @@ def phonetic_block_keys(
 def salt_blocks(
     blocks: DataFrame,
     cfg: BlockingConfig | None = None,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Split oversized blocks into salt groups of at most ``max_block_size``
     members, keeping pair cost LINEAR in block size without the silent
@@ -355,10 +381,18 @@ def salt_blocks(
       group: two true duplicates in a 5000-member template block had a
       ~(1 - 1/n_salts) miss chance per key, and because the salt ignored
       the key, misses were perfectly correlated across a pair's keys.
-    - Without ``sort_key`` (caller-supplied raw key tables): hash salting,
-      but keyed on (doc_id, block_key) so misses are INDEPENDENT across a
-      pair's keys, and each member also joins the next salt — per-key meet
-      probability 3/n_salts instead of 1/n_salts, compounded across keys.
+    - With NARROW keys plus a ``tokens`` table (one (doc_id, sort_key,
+      sort_key2) row per DOC from :func:`sort_token_table`): identical
+      semantics to the wide form, but the ~170 bytes of sort tokens are
+      attached by a join ONLY to the hot-block rows the rank windows
+      order, instead of riding every key row through the checkpoint,
+      count and join (guide §8 — heavy payload moves late and once;
+      measured: hot rows are ~0.5% of key rows on the bench corpus).
+    - Without ``sort_key`` and without ``tokens`` (caller-supplied raw key
+      tables): hash salting, but keyed on (doc_id, block_key) so misses
+      are INDEPENDENT across a pair's keys, and each member also joins the
+      next salt — per-key meet probability 3/n_salts instead of
+      1/n_salts, compounded across keys.
 
     A block so large that even one rank range per task is too big (10^8-row
     boilerplate keys at true web scale) would serialize the window sort into
@@ -398,12 +432,12 @@ def salt_blocks(
     cold = joined.where(F.col("n_salts") <= 1).select("doc_id", "block_key")
     hot = joined.where(F.col("n_salts") >= 2)
 
-    def ranged(sort_col: str, tag: str) -> DataFrame:
+    def ranged(frame: DataFrame, sort_col: str, tag: str) -> DataFrame:
         rn = F.row_number().over(
             Window.partitionBy("block_key").orderBy(sort_col, "doc_id")
         )
         grp = F.floor((rn - F.lit(1)) / F.lit(cap)).cast("int")
-        with_g = hot.withColumn("_g", grp)
+        with_g = frame.withColumn("_g", grp)
         neighbor = F.least(F.col("_g") + 1, F.col("n_salts") - 1)
         return (
             with_g.select(
@@ -423,8 +457,15 @@ def salt_blocks(
             )
         )
 
+    if not sort_cols and tokens is not None:
+        # narrow-key mode: attach the per-doc tokens to hot rows only;
+        # barrier so the join runs once, not once per sort order
+        hot = hot.join(tokens, "doc_id").localCheckpoint(eager=False)
+        sort_cols = ["sort_key", "sort_key2"]
     if sort_cols:
-        parts = [ranged(c, tag) for c, tag in zip(sort_cols, ("F", "R"))]
+        parts = [
+            ranged(hot, c, tag) for c, tag in zip(sort_cols, ("F", "R"))
+        ]
         salted_hot = parts[0]
         for p in parts[1:]:
             salted_hot = salted_hot.unionByName(p)
@@ -457,13 +498,17 @@ def salt_blocks(
 def candidate_pairs(
     blocks: DataFrame,
     cfg: BlockingConfig | None = None,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Self-join blocks on block_key, canonical order src < dst, dedup pairs
     that co-occur in several blocks. The shuffle key is block_key (bounded
     cardinality per key after salting); the dedup groupBy shuffles on the
-    pair itself."""
+    pair itself. ``tokens`` is the narrow-key companion table (see
+    salt_blocks / blocking_plan)."""
     # Barrier before the self-join: both join sides reference `salted`.
-    salted = salt_blocks(blocks, cfg).localCheckpoint(eager=False)
+    salted = salt_blocks(blocks, cfg, tokens=tokens).localCheckpoint(
+        eager=False
+    )
     a = salted.alias("a")
     b = salted.alias("b")
     return (
@@ -497,3 +542,30 @@ def blocking_keys(
             phonetic_block_keys(docs, id_col, text_col, cfg.phonetic_key_words)
         )
     return keys
+
+
+def blocking_plan(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    url_col: str | None = None,
+    cfg: BlockingConfig | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(keys, tokens) for candidate generation — the narrow-key form of
+    :func:`blocking_keys`: key rows carry only (doc_id, block_key) and the
+    salting sort tokens live in ONE per-doc table, so the salting
+    checkpoint/count/join never move the ~170-byte tokens per key row
+    (guide §8; see salt_blocks). Same candidate pairs as the wide form
+    (pinned by tests/test_salting.py::test_narrow_equals_wide).
+
+    Key families with a different token source (host keys sort by url,
+    phonetic keys are an entity-path option) fall back to the wide form
+    with ``tokens=None`` — bit-identical behavior, just without the
+    narrow-path savings."""
+    cfg = cfg or BlockingConfig()
+    if url_col is not None or cfg.use_phonetic_keys:
+        return blocking_keys(docs, id_col, text_col, url_col, cfg), None
+    keys = lsh_block_keys(docs, id_col, text_col, cfg, with_tokens=False).unionByName(
+        sorted_neighborhood_keys(docs, id_col, text_col, cfg, with_tokens=False)
+    )
+    return keys, sort_token_table(docs, id_col, text_col)

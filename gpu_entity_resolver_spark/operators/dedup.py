@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..config import BlockingConfig
 from ..functions.textstats import doc_fingerprint
-from .blocking import candidate_pairs, lsh_block_keys
+from .blocking import candidate_pairs, lsh_block_keys, sort_token_table
 from .connected_components import connected_components
 from .shingles import doc_vector_table, pair_cosine_vecs
 
@@ -63,7 +63,11 @@ def minhash_dedup(
         F.col(id_col).alias("doc_id"),
         F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("nt"),
     )
-    pairs = candidate_pairs(lsh_block_keys(norm, "doc_id", "nt", cfg), cfg)
+    pairs = candidate_pairs(
+        lsh_block_keys(norm, "doc_id", "nt", cfg, with_tokens=False),
+        cfg,
+        tokens=sort_token_table(norm, "doc_id", "nt"),
+    )
     # single-width shingles + pruned vectors: same separation at a third of
     # the exploded-token volume (see ScoringConfig.tfidf_ngram_lo). Vectors
     # come from the broadcast-IDF map-side build (doc_vector_table): same
@@ -251,7 +255,11 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("nt"),
     )
-    pairs = candidate_pairs(lsh_block_keys(norm, "doc_id", "nt", cfg), cfg)
+    pairs = candidate_pairs(
+        lsh_block_keys(norm, "doc_id", "nt", cfg, with_tokens=False),
+        cfg,
+        tokens=sort_token_table(norm, "doc_id", "nt"),
+    )
     grams = norm.select(
         "doc_id",
         F.expr(

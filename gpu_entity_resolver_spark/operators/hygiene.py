@@ -32,10 +32,15 @@ def consolidate_identical_entities(
     Returns the input with ``cluster`` re-mapped.
     """
     sizes = members.groupBy(cluster_col).agg(F.count("*").alias("_csize"))
+    # Aggregate to distinct (key, cluster) FIRST, then attach the cluster
+    # size: the former members-x-sizes row-level join shuffled the whole
+    # membership table only to collapse it right after (guide §2.3 —
+    # aggregate before you shuffle); joining the distinct-pairs table with
+    # the cluster-size table attaches the identical _csize values.
     key_winner = (
-        members.join(sizes, cluster_col)
-        .groupBy(key_col, cluster_col)
-        .agg(F.first("_csize").alias("_csize"))
+        members.select(key_col, cluster_col)
+        .distinct()
+        .join(sizes, cluster_col)
         .withColumn(
             "_rn",
             F.row_number().over(
@@ -116,7 +121,7 @@ def merge_similar_clusters(
     5. merged components relabel via connected components (replaces the
        reference's union-find loop, utils.py:570-579).
     """
-    from .blocking import blocking_keys, candidate_pairs
+    from .blocking import blocking_plan, candidate_pairs
     from .connected_components import connected_components
     from .scoring import make_jw_udf, score_pairs
 
@@ -130,9 +135,8 @@ def merge_similar_clusters(
         F.col(cluster_col).alias("doc_id"),
         F.col("canonical_text").alias(text_col),
     )
-    pairs = candidate_pairs(
-        blocking_keys(reps, "doc_id", text_col, cfg=cfg.blocking), cfg.blocking
-    )
+    rep_keys, rep_tokens = blocking_plan(reps, "doc_id", text_col, cfg=cfg.blocking)
+    pairs = candidate_pairs(rep_keys, cfg.blocking, tokens=rep_tokens)
     rep_scored = score_pairs(pairs, reps, "doc_id", text_col, cfg.scoring)
     cand = rep_scored.where(
         F.col("score") >= ccfg.centroid_similarity_threshold
@@ -728,7 +732,7 @@ def assign_new_documents(
     ``new_docs``: (doc_id, norm_text); ``canon``: (cluster, canonical_text).
     Returns (doc_id, cluster, match_score, is_new_entity).
     """
-    from .blocking import blocking_keys
+    from .blocking import blocking_plan
     from .scoring import score_pairs
 
     cfg = cfg or ResolverConfig()
@@ -741,12 +745,16 @@ def assign_new_documents(
     # and rep x rep pairs only to discard them with semi-joins — this form
     # produces exactly the (new x rep) pairs at roughly half (often far less)
     # of the pair volume, and can never lose a pair to salt-group splits.
-    new_keys = blocking_keys(
+    # Narrow keys (r6): this path never salts, so the sort tokens the wide
+    # key tables carried were dead weight in both key builds and the join.
+    new_keys = blocking_plan(
         new_docs, "doc_id", "norm_text", cfg=cfg.blocking
-    ).withColumnRenamed("doc_id", "new_id")
-    rep_keys = blocking_keys(
-        reps, "doc_id", "norm_text", cfg=cfg.blocking
-    ).withColumnRenamed("doc_id", "rep_id").localCheckpoint(eager=False)
+    )[0].select(F.col("doc_id").alias("new_id"), "block_key")
+    rep_keys = (
+        blocking_plan(reps, "doc_id", "norm_text", cfg=cfg.blocking)[0]
+        .select(F.col("doc_id").alias("rep_id"), "block_key")
+        .localCheckpoint(eager=False)
+    )
     # Hot-key cap (the cross-table analog of salt_blocks): a block key shared
     # by more than max_block_size reps is a near-useless discriminator and
     # would fan out new_n x rep_n rows — drop it; every doc carries many

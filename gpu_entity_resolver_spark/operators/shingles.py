@@ -464,18 +464,20 @@ def pair_cosine_vecs(
     """Cosine per candidate pair from a prebuilt (doc_id, vec) table:
     two equi-joins + a JVM fold dot product (see pair_cosine).
 
-    Join strategy (guide §3.1): the vector table is a mapInPandas output,
-    so the planner has no stats and picks sort-merge — which shuffles the
+    Join strategy (guide §3.1): a sort-merge pick here would shuffle the
     PAIRS twice, the second time with the ~600-byte ``vec_a`` map already
-    attached (measured ~3 GB of exchange at 5.4M pairs). When the builder
-    recorded a doc count (``_dvt_n_docs``) at or below
-    ``broadcast_max_docs`` (~250 MB built at top_k=48 — comfortably inside
-    executor memory, far under the 8 GB broadcast cap), hint a broadcast:
-    both joins become BroadcastHashJoin, ReuseExchange ships ONE build, and
-    the pair table is never shuffled at all. Corpora above the bound keep
-    sort-merge — the bound is what makes this safe at the 100 TB target,
-    where the vector table is shuffle-sized. Strategy choice never changes
-    values."""
+    attached. On this engine's plans the optimizer usually broadcasts the
+    vector side on its own (Spark 4 propagates size stats through the
+    lazy localCheckpoint), but that decision rests on ESTIMATES of an
+    opaque mapInPandas output and flips to sort-merge whenever the
+    estimate drifts past the 64 MB auto threshold. The builder KNOWS the
+    real row count (``_dvt_n_docs``): at or below ``broadcast_max_docs``
+    (~250 MB built at top_k=48 — far under the 8 GB broadcast cap) the
+    broadcast is hinted explicitly, pinning the strategy to the known
+    size instead of the estimate; ReuseExchange ships one build for both
+    joins. Corpora above the bound keep the planner's choice — that bound
+    is what makes this safe at the 100 TB target, where the vector table
+    is shuffle-sized. Strategy choice never changes values."""
     # Barrier: the vector table feeds BOTH side joins; without it the
     # whole vector build (term counts included) runs twice.
     n_docs = getattr(vecs, "_dvt_n_docs", None)

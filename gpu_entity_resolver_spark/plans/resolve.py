@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..config import ResolverConfig
 from ..functions.extraction import extracted_text
 from ..functions.normalize import confidence_bin, normalize_entity_text
-from ..operators.blocking import blocking_keys, candidate_pairs
+from ..operators.blocking import blocking_plan, candidate_pairs
 from ..operators.canonical import canonical_map
 from ..operators.connected_components import connected_components
 from ..operators.scoring import edges_above_threshold, make_jw_udf, score_pairs
@@ -147,13 +147,13 @@ def resolve_documents(
     # 100% labeled-pair recall), while Zipf-hot hosts contributed ~80% of
     # candidate pairs with no additional recall. Use
     # operators.blocking.host_keys for URL-duplicate-specific workloads.
-    pairs = ckpt.stage(
-        "02_pairs",
-        lambda: candidate_pairs(
-            blocking_keys(prepared, "doc_id", "norm_text", cfg=cfg.blocking),
-            cfg.blocking,
-        ),
-    )
+    def build_pairs() -> DataFrame:
+        keys, tokens = blocking_plan(
+            prepared, "doc_id", "norm_text", cfg=cfg.blocking
+        )
+        return candidate_pairs(keys, cfg.blocking, tokens=tokens)
+
+    pairs = ckpt.stage("02_pairs", build_pairs)
 
     # full scored pair table is the checkpointed stage (edges are a cheap
     # filter of it; G8 attachment needs the sub-threshold scores too)

@@ -57,14 +57,21 @@ def _separate_entities(base, cos_threshold: float = 0.5):
     MinHash blocking + TF-IDF cosine, drops the larger id of each similar
     pair."""
     from ..functions.normalize import normalize_entity_text
-    from ..operators.blocking import candidate_pairs, lsh_block_keys
+    from ..operators.blocking import (
+        candidate_pairs,
+        lsh_block_keys,
+        sort_token_table,
+    )
     from ..operators.shingles import pair_cosine, tfidf_weights
 
     norm = base.select(
         F.col("entity_id").alias("doc_id"),
         normalize_entity_text(F.col("text")).alias("nt"),
     )
-    pairs = candidate_pairs(lsh_block_keys(norm, "doc_id", "nt"))
+    pairs = candidate_pairs(
+        lsh_block_keys(norm, "doc_id", "nt", with_tokens=False),
+        tokens=sort_token_table(norm, "doc_id", "nt"),
+    )
     cos = pair_cosine(pairs, tfidf_weights(norm, "doc_id", "nt"))
     drop = (
         cos.where(F.col("tfidf_cos") >= cos_threshold)
