@@ -65,3 +65,32 @@ def test_levenshtein_batch_small_chunks(spark):
     full = levenshtein_batch(a, b, max_chars=144)
     small = levenshtein_batch(a, b, max_chars=144, chunk_rows=7)
     assert full.tolist() == small.tolist()
+
+
+def test_myers_equals_row_dp():
+    """The Myers bit-parallel kernel must equal the row-DP baseline on
+    randomized pairs including NUL chars, unicode and full-length strings
+    (word-boundary and carry paths)."""
+    import random
+
+    import pandas as pd
+
+    from gpu_entity_resolver_spark.functions.simfns import (
+        levenshtein_batch_dp,
+    )
+
+    rng = random.Random(31)
+    alpha = "ab cd\x00é日"
+    pairs = [("", ""), ("\x00", ""), ("a" * 64, "a" * 63 + "b"),
+             ("a" * 65, "a" * 64), ("x" * 128, "x" * 129 if False else "x" * 127)]
+    for _ in range(500):
+        la, lb = rng.randint(0, 144), rng.randint(0, 144)
+        pairs.append((
+            "".join(rng.choice(alpha) for _ in range(la)),
+            "".join(rng.choice(alpha) for _ in range(lb)),
+        ))
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    assert levenshtein_batch(a, b, 144).tolist() == levenshtein_batch_dp(
+        a, b, 144
+    ).tolist()
