@@ -81,68 +81,84 @@ def _lev_chunk_myers(a: pd.Series, b: pd.Series, max_chars: int) -> np.ndarray:
     n = len(la)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    # Text-length-desc order (r6b): at text position j only rows with
+    # lb > j still evolve their score — rows beyond that are frozen (the
+    # old `upd` mask), so excluding them from the whole iteration is
+    # exact. Sorted rows make the active set a sliceable prefix.
+    order = np.argsort(-lb, kind="stable")
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n)
+    A, la, B, lb = A[order], la[order], B[order], lb[order]
     W = (max_chars + 63) // 64
     L = W * 64
-    # pattern chars padded with -1 (both beyond max_chars and beyond each
-    # row's own length) so no text char — including NUL, whose code equals
-    # the encode pad — can match a non-pattern position
-    Ap = np.full((n, L), -1, dtype=np.int32)
-    Ap[:, : A.shape[1]] = A
+    # Narrowest dtype holding every code PLUS the -1 pad sentinel: int8 for
+    # ASCII (the overwhelming case after normalization — 4x less compare
+    # traffic than int32), int16 for BMP, int32 otherwise. The pad stays -1
+    # so no text char — including NUL, whose code equals the encode pad —
+    # can match a non-pattern position.
+    hi_code = max(int(A.max(initial=0)), int(B.max(initial=0)))
+    dt = np.int8 if hi_code < 127 else (np.int16 if hi_code < 32767 else np.int32)
+    Ap = np.full((n, L), -1, dtype=dt)
+    Ap[:, : A.shape[1]] = A.astype(dt)
     Ap[np.arange(L)[None, :] >= la[:, None]] = -1
+    Bd = B.astype(dt)
     res = np.empty(n, dtype=np.int64)
     z = la == 0
     res[z] = lb[z]
     la1 = np.maximum(la, 1)
     widx = ((la1 - 1) // 64).astype(np.int64)
     wbit = ((la1 - 1) % 64).astype(np.uint64)
-    rows = np.arange(n)
     VP = np.full((n, W), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     VN = np.zeros((n, W), dtype=np.uint64)
     score = la.astype(np.int64).copy()
-    lb_max = int(lb.max())
+    lb_neg = -lb  # ascending, for the active-prefix searchsorted
     u1, u63 = np.uint64(1), np.uint64(63)
+    cmp_buf = np.empty((n, L), dtype=bool)
     with np.errstate(over="ignore"):
-        for j in range(lb_max):
-            cmp = Ap == B[:, j][:, None]
-            Eq = np.packbits(cmp, axis=1, bitorder="little").view(np.uint64)
-            X = Eq | VN
-            addend = X & VP
-            S = np.empty_like(VP)
-            carry = np.zeros(n, dtype=np.uint64)
+        for j in range(int(lb[0]) if n else 0):
+            # rows with lb > j (strict) — side="left" over ascending -lb
+            na = int(np.searchsorted(lb_neg, -j, side="left"))
+            if na == 0:
+                break
+            cb = cmp_buf[:na]
+            np.equal(Ap[:na], Bd[:na, j][:, None], out=cb)
+            Eq = np.packbits(cb, axis=1, bitorder="little").view(np.uint64)
+            vp, vn = VP[:na], VN[:na]
+            X = Eq | vn
+            addend = X & vp
+            S = np.empty_like(vp)
+            carry = np.zeros(na, dtype=np.uint64)
             for k in range(W):  # multi-word add: VP + (X & VP), carry up
-                t = VP[:, k] + addend[:, k]
-                c1 = t < VP[:, k]
+                t = vp[:, k] + addend[:, k]
+                c1 = t < vp[:, k]
                 t2 = t + carry
                 c2 = t2 < t
                 S[:, k] = t2
                 carry = (c1 | c2).astype(np.uint64)
-            D0 = (S ^ VP) | X
-            HN = VP & D0
-            HP = VN | ~(VP | D0)
-            # read the score delta at each pair's top pattern bit, only
-            # while this text position is inside the pair's own text
-            upd = j < lb
-            hp = (HP[rows, widx] >> wbit) & u1
-            hn = (HN[rows, widx] >> wbit) & u1
-            score += np.where(
-                upd, hp.astype(np.int64) - hn.astype(np.int64), 0
-            )
-            cin = np.full(n, 1, dtype=np.uint64)  # D[0][j] = j boundary
+            D0 = (S ^ vp) | X
+            HN = vp & D0
+            HP = vn | ~(vp | D0)
+            # read the score delta at each pair's top pattern bit
+            rows = np.arange(na)
+            hp = (HP[rows, widx[:na]] >> wbit[:na]) & u1
+            hn = (HN[rows, widx[:na]] >> wbit[:na]) & u1
+            score[:na] += hp.astype(np.int64) - hn.astype(np.int64)
+            cin = np.full(na, 1, dtype=np.uint64)  # D[0][j] = j boundary
             HPs = np.empty_like(HP)
             for k in range(W):
                 cout = HP[:, k] >> u63
                 HPs[:, k] = (HP[:, k] << u1) | cin
                 cin = cout
-            cin = np.zeros(n, dtype=np.uint64)
+            cin = np.zeros(na, dtype=np.uint64)
             HNs = np.empty_like(HN)
             for k in range(W):
                 cout = HN[:, k] >> u63
                 HNs[:, k] = (HN[:, k] << u1) | cin
                 cin = cout
-            VN = HPs & D0
-            VP = HNs | ~(HPs | D0)
+            VN[:na] = HPs & D0
+            VP[:na] = HNs | ~(HPs | D0)
     res[~z] = score[~z]
-    return res
+    return res[inv]
 
 
 def levenshtein_batch_dp(
@@ -198,6 +214,10 @@ def _lev_chunk(a: pd.Series, b: pd.Series, max_chars: int) -> np.ndarray:
     return result
 
 
+_ONES64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_U1 = np.uint64(1)
+
+
 def jaro_winkler(
     a: pd.Series,
     b: pd.Series,
@@ -211,13 +231,22 @@ def jaro_winkler(
     plus Winkler prefix boost (prefix capped at 4). Matches DuckDB's
     ``jaro_winkler_similarity`` (verified by tests/test_simfns.py).
 
-    ``chunk_rows`` defaults to ~4 MB of per-array working set
-    (chunk x max_chars^2 booleans): the kernel's (rows, L, L) match tensors
-    are pure memory traffic, and oversized chunks thrash the cache —
-    measured 6.6k pairs/s/core at chunk 2048 vs 14.4k at 256 for L=144.
-    """
+    Kernel (r6): the greedy left-to-right match loop runs BIT-PARALLEL —
+    per pattern position one vectorized compare of the text chars is packed
+    to ceil(L/64) uint64 words (``np.packbits``), the match window
+    [i-win, i+win] ∩ [0, lb) becomes a closed-form per-word range mask
+    (no (rows, L, L) tensors at all), the taken-text-position set lives in
+    the same packed words, and the first available match is
+    ``log2(avail & -avail)`` (exact in float64 — lowbit is a power of two).
+    Rows are processed in pattern-length-descending order so the active row
+    set shrinks as i grows (pure permutation of independent rows). Values
+    are BIT-IDENTICAL to the tensor formulation, kept below as
+    ``_jw_chunk_ref`` and pinned by tests/test_simfns.py — same greedy
+    order, same integer match/transposition counts, same float expression.
+    Measured 2.4x at L=144 (scorer sketches) / 3.1x at L=64 (canonical
+    name similarity) per core."""
     if chunk_rows is None:
-        chunk_rows = max(128, min(2048, (1 << 22) // (max_chars * max_chars)))
+        chunk_rows = 8192
     n = len(a)
     out = np.zeros(n, dtype=np.float64)
     for lo in range(0, n, chunk_rows):
@@ -229,6 +258,134 @@ def jaro_winkler(
 
 
 def _jw_chunk(
+    a: pd.Series, b: pd.Series, max_chars: int, prefix_weight: float
+) -> np.ndarray:
+    A32, la = _encode_padded(a, max_chars)
+    B32, lb = _encode_padded(b, max_chars)
+    n, L = A32.shape
+    if n == 0:
+        return np.zeros(0)
+    # pattern-length-desc order: at iteration i only rows with la > i are
+    # active, and sorted rows make them a sliceable prefix
+    order = np.argsort(-la, kind="stable")
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n)
+    A32, la = A32[order], la[order]
+    B32, lb = B32[order], lb[order]
+    # 8-bit compare path: normalized text is overwhelmingly ASCII; 4x fewer
+    # bytes per compare. Codepoints >= 256 keep the int32 arrays unchanged.
+    if A32.max(initial=0) < 256 and B32.max(initial=0) < 256:
+        A: np.ndarray = A32.astype(np.uint8)
+        B: np.ndarray = B32.astype(np.uint8)
+    else:
+        A, B = A32, B32
+
+    W = (L + 63) // 64
+    Lp = W * 64
+    win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    used = np.zeros((n, W), dtype=np.uint64)
+    match_b = np.full((n, L), -1, dtype=np.int64)
+    la_neg = -la  # ascending, for the active-prefix searchsorted
+    cmp_buf = np.empty((n, Lp), dtype=bool)
+    cmp_buf[:, L:] = False
+    for i in range(int(la[0]) if n else 0):
+        na = int(np.searchsorted(la_neg, -i, side="right"))
+        if na == 0:
+            break
+        cb = cmp_buf[:na]
+        np.equal(B[:na], A[:na, i][:, None], out=cb[:, :L])
+        avail = np.packbits(cb, axis=1, bitorder="little").view(np.uint64)
+        lo = np.maximum(i - win[:na], 0)
+        hi = np.minimum(i + win[:na], lb[:na] - 1)
+        # a NUL/pad char inside the pattern can never match (encode pad == 0)
+        hi = np.where(A32[:na, i] == 0, -1, hi)
+        for k in range(W):
+            base = 64 * k
+            hi_n = np.clip(hi + 1 - base, 0, 64).astype(np.uint64)
+            lo_n = np.clip(lo - base, 0, 64).astype(np.uint64)
+            hi_m = np.where(hi_n >= 64, _ONES64, (_U1 << hi_n) - _U1)
+            lo_m = np.where(lo_n >= 64, _ONES64, (_U1 << lo_n) - _U1)
+            avail[:, k] &= hi_m & ~lo_m
+        avail &= ~used[:na]
+        nz = avail != 0
+        has = nz.any(axis=1)
+        word = nz.argmax(axis=1)
+        rows = np.nonzero(has)[0]
+        w_r = word[rows]
+        v = avail[rows, w_r]
+        lowbit = v & (~v + _U1)
+        bit = np.log2(lowbit.astype(np.float64)).astype(np.int64)
+        used[rows, w_r] |= lowbit
+        match_b[rows, i] = w_r * 64 + bit
+
+    matched_mask_a = match_b >= 0
+    k_int = matched_mask_a.sum(axis=1)
+    m = k_int.astype(np.float64)
+
+    used_b = np.unpackbits(
+        used.view(np.uint8), axis=1, bitorder="little"
+    ).astype(bool)[:, :L]
+
+    # matched chars extracted by cumsum scatter — row-major nonzero order is
+    # ascending index per row, identical to the stable argsort extraction
+    a_seq = np.zeros((n, L), dtype=A32.dtype)
+    r, c = np.nonzero(matched_mask_a)
+    pos_a = np.cumsum(matched_mask_a, axis=1) - 1
+    a_seq[r, pos_a[r, c]] = A32[r, c]
+    b_seq = np.zeros((n, L), dtype=B32.dtype)
+    r, c = np.nonzero(used_b)
+    pos_b = np.cumsum(used_b, axis=1) - 1
+    b_seq[r, pos_b[r, c]] = B32[r, c]
+    in_match = np.arange(L)[None, :] < k_int[:, None]
+    # Integer-halved transposition count — the classic-implementation
+    # convention the DuckDB oracle follows (mismatches // 2, not / 2).
+    trans = (((a_seq != b_seq) & in_match).sum(axis=1) // 2).astype(np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / la + m / lb + (m - trans) / np.where(m == 0, 1, m)) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+
+    pref_eq = (A32[:, :4] == B32[:, :4]) & (A32[:, :4] != 0)
+    pref_len = np.where(
+        pref_eq.all(axis=1), np.minimum(4, np.minimum(la, lb)), pref_eq.argmin(axis=1)
+    ).astype(np.float64)
+    # Classic Winkler boost threshold: only boost when jaro > 0.7.
+    jw = np.where(
+        jaro > 0.7, jaro + pref_len * prefix_weight * (1.0 - jaro), jaro
+    )
+    # Empty-string convention follows the DuckDB oracle: any empty side
+    # scores 0.0 — empties must never fuzzy-match.
+    res = np.where((la == 0) | (lb == 0), 0.0, jw)
+    return res[inv]
+
+
+def jaro_winkler_ref(
+    a: pd.Series,
+    b: pd.Series,
+    max_chars: int = 64,
+    prefix_weight: float = 0.1,
+    chunk_rows: int | None = None,
+) -> np.ndarray:
+    """The r5 (rows, L, L) tensor formulation — kept as the A/B and
+    equivalence baseline for the bit-parallel kernel above
+    (tests/test_simfns.py pins new == ref on randomized + edge shapes).
+
+    ``chunk_rows`` defaults to ~4 MB of per-array working set
+    (chunk x max_chars^2 booleans): the tensor build is pure memory
+    traffic, and oversized chunks thrash the cache."""
+    if chunk_rows is None:
+        chunk_rows = max(128, min(2048, (1 << 22) // (max_chars * max_chars)))
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        out[lo:hi] = _jw_chunk_ref(
+            a.iloc[lo:hi], b.iloc[lo:hi], max_chars, prefix_weight
+        )
+    return out
+
+
+def _jw_chunk_ref(
     a: pd.Series, b: pd.Series, max_chars: int, prefix_weight: float
 ) -> np.ndarray:
     A, la = _encode_padded(a, max_chars)

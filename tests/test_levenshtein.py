@@ -94,3 +94,30 @@ def test_myers_equals_row_dp():
     assert levenshtein_batch(a, b, 144).tolist() == levenshtein_batch_dp(
         a, b, 144
     ).tolist()
+
+
+def test_myers_dtype_boundaries_and_prefix_shrink():
+    """r6b kernel internals: the narrow compare dtype must switch exactly at
+    the int8/int16/int32 code boundaries, and the length-sorted active-
+    prefix shrink must be invariant to row order."""
+    import pandas as pd
+
+    from gpu_entity_resolver_spark.functions.simfns import (
+        levenshtein_batch_dp,
+    )
+
+    pairs = [
+        (chr(126) * 10, chr(126) * 9 + "a"),      # int8 path
+        (chr(127) * 10, chr(127) * 9 + "a"),      # forces int16
+        (chr(32766) * 10, chr(32766) * 9 + "a"),  # int16 ceiling
+        (chr(32767) * 10, chr(32767) * 9 + "a"),  # forces int32
+        (chr(70000) * 10, chr(70000) * 9 + "a"),  # non-BMP, int32
+        ("ab", chr(127) + "b"),                   # mixed ascii/non-ascii
+    ]
+    # mixed lengths in shuffled order exercise the sort + inverse scatter
+    pairs += [("x" * k, "x" * (144 - k)) for k in (0, 1, 7, 64, 65, 128, 144)]
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    got = levenshtein_batch(a, b, 144)
+    want = levenshtein_batch_dp(a, b, 144)
+    assert got.tolist() == want.tolist()

@@ -67,3 +67,40 @@ def test_chunking_invariance():
     full = jaro_winkler(a, b, chunk_rows=4096)
     small = jaro_winkler(a, b, chunk_rows=7)
     np.testing.assert_array_equal(full, small)
+
+
+def test_bitparallel_kernel_equals_tensor_ref():
+    """The r6 bit-parallel greedy-match kernel must be BIT-identical to the
+    (rows, L, L) tensor formulation it replaced, on every shape class the
+    engine feeds it: long near-dup sketches (L=144), short names (L=64),
+    mixed lengths (active-prefix shrink), unicode (int32 fallback), NUL
+    chars, empties/None, and exact word-boundary lengths."""
+    from gpu_entity_resolver_spark.functions.simfns import jaro_winkler_ref
+
+    rng = np.random.default_rng(1234)
+    alpha = np.array(list("abcdefgh 0123"))
+
+    def rt(n, lo, hi):
+        lens = rng.integers(lo, hi + 1, size=n)
+        return pd.Series(["".join(rng.choice(alpha, L)) for L in lens])
+
+    base = rt(500, 100, 144)
+    cases = [
+        (rt(800, 0, 40), rt(800, 0, 40), 64),
+        (base, base.str.slice(0, 70) + "x" + base.str.slice(72), 144),
+        (rt(800, 0, 144), rt(800, 0, 144), 144),
+        (
+            pd.Series(["café müller", "你好 world", "", None, "a\x00b", "\x00"]),
+            pd.Series(["cafe muller", "你好 word", "x", "y", "ab", "\x00\x00"]),
+            64,
+        ),
+        (
+            pd.Series(["a" * 64, "b" * 128, "c" * 63, "d" * 65]),
+            pd.Series(["a" * 63 + "x", "b" * 129, "c" * 64, "d" * 64]),
+            144,
+        ),
+    ]
+    for a, b, mc in cases:
+        got = jaro_winkler(a, b, max_chars=mc)
+        want = jaro_winkler_ref(a, b, max_chars=mc)
+        np.testing.assert_array_equal(got, want)
