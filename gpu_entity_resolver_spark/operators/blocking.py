@@ -406,29 +406,45 @@ def salt_blocks(
     cfg = cfg or BlockingConfig()
     cap = cfg.max_block_size
     sort_cols = [c for c in ("sort_key", "sort_key2") if c in blocks.columns]
-    # Materialization barrier: `blocks` (whose plan contains the MinHash
-    # signatures) is referenced by both the size aggregation and the join —
-    # without it the signature computation runs twice.
-    blocks = blocks.localCheckpoint(eager=False)
-    counts = blocks.groupBy("block_key").agg(F.count("*").alias("block_n"))
-    # Blocks of size 1 produce no pairs — drop them before the join; keys
-    # hotter than the df ceiling are degenerate — drop them too (the
-    # aggregated counts table is tiny, so this costs one comparison).
-    # Measured dead end (r6): computing block_n as a count WINDOW so the
-    # rank windows could reuse its exchange was ~30% SLOWER — the count
-    # window shuffles the FULL wide key table (sort tokens included), while
-    # this form shuffles narrow map-side-aggregated counts plus only the
-    # HOT subset in the rank windows.
-    useful = counts.where(F.col("block_n") >= 2)
-    if cfg.hot_key_ceiling is not None:
-        useful = useful.where(F.col("block_n") <= cfg.hot_key_ceiling)
-    # Second barrier: `joined` feeds the cold branch AND each sort order's
-    # ranged() window — without it the blocks-x-counts join (shuffling the
-    # wide sort-key columns) re-executes once per consumer, three times on
-    # the default config (guide §2.4: accidental repeated exchanges).
-    joined = blocks.join(useful, "block_key").withColumn(
-        "n_salts", F.ceil(F.col("block_n") / F.lit(cap)).cast("int")
-    ).localCheckpoint(eager=False)
+    if not sort_cols and tokens is not None:
+        # NARROW-key path (r6b): block sizes as ONE count window over the
+        # (doc_id, block_key) table — a single exchange of ~30-byte rows —
+        # instead of checkpoint -> map-side count agg -> join -> second
+        # checkpoint. The r6 measurement that rejected the count-window
+        # form ("~30% slower") was taken on the WIDE key table, where the
+        # window shuffled every row's ~170 bytes of sort tokens; with
+        # narrow keys the window moves fewer bytes than the two
+        # materializations it replaces, and the size filters (>= 2,
+        # df ceiling) apply identically after the count. One barrier on
+        # the window output serves all three consumers (cold + both rank
+        # orders), so the python key build runs exactly once.
+        counted = blocks.withColumn(
+            "block_n", F.count("*").over(Window.partitionBy("block_key"))
+        ).where(F.col("block_n") >= 2)
+        if cfg.hot_key_ceiling is not None:
+            counted = counted.where(F.col("block_n") <= cfg.hot_key_ceiling)
+        joined = counted.withColumn(
+            "n_salts", F.ceil(F.col("block_n") / F.lit(cap)).cast("int")
+        ).localCheckpoint(eager=False)
+    else:
+        # WIDE-key path (host/phonetic families, caller-supplied tables):
+        # keep the groupBy+join form — a count window here would shuffle
+        # every row's sort tokens (measured ~30% slower, r6).
+        # Materialization barrier: `blocks` (whose plan contains the
+        # MinHash signatures) is referenced by both the size aggregation
+        # and the join — without it the signature computation runs twice.
+        blocks = blocks.localCheckpoint(eager=False)
+        counts = blocks.groupBy("block_key").agg(F.count("*").alias("block_n"))
+        useful = counts.where(F.col("block_n") >= 2)
+        if cfg.hot_key_ceiling is not None:
+            useful = useful.where(F.col("block_n") <= cfg.hot_key_ceiling)
+        # Second barrier: `joined` feeds the cold branch AND each sort
+        # order's ranged() window — without it the blocks-x-counts join
+        # (shuffling the wide sort-key columns) re-executes once per
+        # consumer, three times on the default config (guide §2.4).
+        joined = blocks.join(useful, "block_key").withColumn(
+            "n_salts", F.ceil(F.col("block_n") / F.lit(cap)).cast("int")
+        ).localCheckpoint(eager=False)
     cold = joined.where(F.col("n_salts") <= 1).select("doc_id", "block_key")
     hot = joined.where(F.col("n_salts") >= 2)
 

@@ -218,11 +218,6 @@ def connected_components(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
     )
-    vertices = (
-        e0.select(F.col("src").alias("vertex"))
-        .union(e0.select(F.col("dst").alias("vertex")))
-        .distinct()
-    )
     # eager=False: the first consumer (partition-CC's groupBy, or round 1 of
     # the star loop) materializes the canonical edge set inside its own job
     # — no separate checkpoint job (r6 job-floor trim).
@@ -293,10 +288,20 @@ def connected_components(
                 )
             )
 
-    return (
-        vertices.join(labels, "vertex", "left")
-        .select(
-            "vertex",
-            F.coalesce("component", "vertex").alias("component"),
-        )
+    # Every node of the canonical edge set is covered by `labels` (the
+    # partition contraction emits one row per node it sees; the star path
+    # joins its own vertex set internally). The only vertices possibly
+    # missing are those appearing EXCLUSIVELY in self-loops — they are
+    # their own component. The former formulation built a distinct over
+    # ALL 2E endpoints and left-joined the full label table just to cover
+    # them (guide §2.4: a distinct over data the labels already cover);
+    # filtering the self-loop subset costs O(self-loops) instead.
+    sl = (
+        e0.where(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("vertex"))
+        .distinct()
     )
+    extra = sl.join(labels, "vertex", "left_anti").select(
+        "vertex", F.col("vertex").alias("component")
+    )
+    return labels.unionByName(extra)

@@ -37,25 +37,35 @@ def consolidate_identical_entities(
     # membership table only to collapse it right after (guide §2.3 —
     # aggregate before you shuffle); joining the distinct-pairs table with
     # the cluster-size table attaches the identical _csize values.
+    # The key rides the distinct, the window and the remap join as
+    # xxhash64(key) — 8 bytes instead of a few hundred (guide §2.3,
+    # narrower types). Same convention the engine already rests on for
+    # doc_id = xxhash64(url), the split-mint ids and C2's address keys;
+    # a null key hashes to null so it never matches the remap join,
+    # exactly as a null never matched the former string equi-join.
+    key_h = F.when(
+        F.col(key_col).isNotNull(), F.xxhash64(key_col)
+    ).alias("_kh")
     key_winner = (
-        members.select(key_col, cluster_col)
+        members.select(key_h, F.col(cluster_col))
         .distinct()
         .join(sizes, cluster_col)
         .withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy(key_col).orderBy(
+                Window.partitionBy("_kh").orderBy(
                     F.desc("_csize"), F.asc(cluster_col)
                 )
             ),
         )
         .where(F.col("_rn") == 1)
-        .select(key_col, F.col(cluster_col).alias("_winner"))
+        .select("_kh", F.col(cluster_col).alias("_winner"))
     )
     return (
-        members.join(key_winner, key_col, "left")
+        members.withColumn("_kh", key_h)
+        .join(key_winner, "_kh", "left")
         .withColumn(cluster_col, F.coalesce("_winner", F.col(cluster_col)))
-        .drop("_winner")
+        .drop("_kh", "_winner")
     )
 
 
@@ -137,7 +147,12 @@ def merge_similar_clusters(
     )
     rep_keys, rep_tokens = blocking_plan(reps, "doc_id", text_col, cfg=cfg.blocking)
     pairs = candidate_pairs(rep_keys, cfg.blocking, tokens=rep_tokens)
-    rep_scored = score_pairs(pairs, reps, "doc_id", text_col, cfg.scoring)
+    # exact_only: the centroid prefilter below is >= the decision-band
+    # floor, so only exact-jw rows can pass — the approx branches (and
+    # their two barriers) are dead weight on this #clusters-sized input.
+    rep_scored = score_pairs(
+        pairs, reps, "doc_id", text_col, cfg.scoring, exact_only=True
+    )
     cand = rep_scored.where(
         F.col("score") >= ccfg.centroid_similarity_threshold
     ).select(F.col("src").alias("_ca"), F.col("dst").alias("_cb"))
@@ -255,21 +270,45 @@ def attach_singletons(
     (doc_id, cluster). Returns labels with singleton clusters re-pointed
     where attached."""
     sizes = labels.groupBy("cluster").agg(F.count("*").alias("_sz"))
-    lab = labels.join(sizes, "cluster")
-    singles = lab.where(F.col("_sz") == 1).select("doc_id")
-    clustered = lab.where(F.col("_sz") >= 2).select(
-        F.col("doc_id").alias("_nbr"), F.col("cluster").alias("_cand")
-    )
-    nbrs = pairs.select(
-        F.col("src").alias("doc_id"), F.col("dst").alias("_nbr"), "score"
-    ).unionByName(
-        pairs.select(
-            F.col("dst").alias("doc_id"), F.col("src").alias("_nbr"), "score"
+    # One narrow (doc_id, is-singleton, cluster-if-clustered) role row per
+    # doc. The former shape unioned BOTH orientations of the pair table
+    # (2P rows) through a semi-join and a join — two shuffles of twice the
+    # pairs; joining the roles onto each endpoint instead touches each pair
+    # once, and the role table is small enough for AQE's runtime broadcast
+    # (guide §2.3/§3.1). Row-for-row equivalent: a doc is singleton XOR
+    # clustered, so each pair yields exactly the orientation rows the union
+    # form kept (src singleton & dst clustered, and/or the reverse).
+    roles = (
+        labels.select("doc_id", "cluster")
+        .join(sizes, "cluster")
+        .select(
+            "doc_id",
+            (F.col("_sz") == 1).alias("_single"),
+            F.when(F.col("_sz") >= 2, F.col("cluster")).alias("_rc"),
         )
     )
+    j = pairs.join(
+        roles.withColumnsRenamed(
+            {"doc_id": "src", "_single": "_sa", "_rc": "_ca"}
+        ),
+        "src",
+    ).join(
+        roles.withColumnsRenamed(
+            {"doc_id": "dst", "_single": "_sb", "_rc": "_cb"}
+        ),
+        "dst",
+    )
     cand = (
-        nbrs.join(singles, "doc_id", "left_semi")
-        .join(clustered, "_nbr")
+        j.select(
+            F.when(F.col("_sa"), F.col("src"))
+            .when(F.col("_sb"), F.col("dst"))
+            .alias("doc_id"),
+            F.when(F.col("_sa"), F.col("_cb"))
+            .when(F.col("_sb"), F.col("_ca"))
+            .alias("_cand"),
+            "score",
+        )
+        .where(F.col("doc_id").isNotNull() & F.col("_cand").isNotNull())
         .groupBy("doc_id", "_cand")
         .agg(
             F.count("*").alias("_n"),
@@ -771,12 +810,17 @@ def assign_new_documents(
         .select("new_id", "rep_id")
         .distinct()
     )
+    # exact_only: the winner filter below keeps rank-1 rows at score >=
+    # edge_threshold (>= the band floor), and an approx row can only carry
+    # score < the floor — if one ever won the rank its doc was unmatched
+    # either way, so dropping the approx branches changes no assignment.
     scored = score_pairs(
         nr.select(F.col("new_id").alias("src"), F.col("rep_id").alias("dst")),
         combined,
         "doc_id",
         "norm_text",
         cfg.scoring,
+        exact_only=True,
     )
     best = (
         scored.withColumn(

@@ -74,9 +74,26 @@ def score_pairs(
     id_col: str = "doc_id",
     text_col: str = "norm_text",
     cfg: ScoringConfig | None = None,
+    exact_only: bool = False,
 ) -> DataFrame:
     """Score candidate pairs; returns (src, dst, tfidf_cos, lev_ratio, jw,
     ph_sim, score). ``pairs`` has (src, dst); ``docs`` has (id_col, text_col).
+
+    ``exact_only=True`` returns ONLY the exact-score rows (jw non-null) —
+    row-for-row the same frame as ``score_pairs(...).where(jw IS NOT
+    NULL)``, but as one LINEAR plan: the cosine-prefilter prunes and the
+    decision-band skips are never unioned in, so the two materialization
+    barriers the branching form needs (the cos table feeding
+    survivors+pruned, the partial-score table feeding banded+rest) drop
+    out, and with them two full intermediate materializations (~5.4M cos
+    rows on the bench corpus) and their jobs. Correct for every caller
+    whose downstream reads only exact rows: any score >= the band floor
+    implies an exact jw (score <= _partial + jw_share), so threshold
+    consumers at or above the floor — resolve's edges, assign_new's
+    >= edge_threshold winner, merge's >= centroid prefilter — and
+    explicit jw-non-null consumers (G8 attachment) see identical rows.
+    Callers aggregating over sub-band scores (merge's sampled-member
+    median) must keep the default.
 
     TF-IDF cosine sees the FULL normalized text (linear cost, pruned
     vectors); JW/Levenshtein see the content sketch (bounded quadratic).
@@ -115,8 +132,12 @@ def score_pairs(
         n_lo=cfg.tfidf_ngram_lo, n_hi=cfg.tfidf_ngram_hi,
         min_df=cfg.tfidf_min_df, top_k=cfg.tfidf_top_k,
     )
-    # Barrier: cos feeds both the survivors branch and the pruned branch.
-    cos = pair_cosine_vecs(pairs, vecs).localCheckpoint(eager=False)
+    # Barrier: cos feeds both the survivors branch and the pruned branch —
+    # except in exact_only mode, where the pruned branch does not exist and
+    # cos flows straight into the survivors filter (single consumer).
+    cos = pair_cosine_vecs(pairs, vecs)
+    if not exact_only:
+        cos = cos.localCheckpoint(eager=False)
 
     # Phase 2 — JW + Levenshtein only for pairs passing the cosine
     # prefilter. This is the reference's centroid-prefilter pattern
@@ -186,6 +207,8 @@ def score_pairs(
             )
             / F.lit(total_w),
         )
+        if exact_only:
+            return full
     else:
         # Phase 2b — decision-band JW. The partial (tfidf + lev) score is
         # pure JVM; the memory-bandwidth-bound numpy JW kernel is SKIPPED
@@ -221,8 +244,10 @@ def score_pairs(
                 + ph_term
             )
             / F.lit(total_w),
-        # barrier: both branches read the joined+lev'd table exactly once
-        ).localCheckpoint(eager=False)
+        )
+        if not exact_only:
+            # barrier: both branches read the joined+lev'd table once
+            base = base.localCheckpoint(eager=False)
         need_jw = F.col("_partial") + F.lit(jw_share) >= F.lit(lo)
         out_cols = ["src", "dst", "tfidf_cos", "lev_ratio", "jw", "ph_sim", "score"]
         banded = (
@@ -235,6 +260,8 @@ def score_pairs(
             )
             .select(*out_cols)
         )
+        if exact_only:
+            return banded
         rest = (
             base.where(~need_jw)
             .withColumn("jw", F.lit(None).cast("double"))

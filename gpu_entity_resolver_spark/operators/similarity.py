@@ -29,22 +29,64 @@ def _cosine(vec_a: str, vec_b: str):
     return dot / (na * nb)
 
 
-def _norm(vec: str):
+def _norm(vec: str, dim: int | None = None):
     """L2 norm of an array column — the same fold expression `_cosine` uses,
     exposed so callers can hoist it out of per-pair evaluation: computing it
     once per ROW instead of once per PAIR is bit-identical (same op
     sequence over the same values) but removes 2/3 of the per-pair fold
-    work from a k-NN scan."""
+    work from a k-NN scan. With ``dim`` the fold unrolls (see _dot)."""
+    fold = f"aggregate({vec}, 0D, (acc, x) -> acc + cast(x as double) * x)"
+    if dim is None or not (0 < dim <= _UNROLL_MAX_DIM):
+        return F.expr(f"sqrt({fold})")
+    terms = " + ".join(
+        f"(cast({vec}[{i}] as double) * cast({vec}[{i}] as double))"
+        for i in range(dim)
+    )
     return F.expr(
-        f"sqrt(aggregate({vec}, 0D, (acc, x) -> acc + cast(x as double) * x))"
+        f"sqrt(CASE WHEN size({vec}) = {dim} THEN 0D + {terms} ELSE {fold} END)"
     )
 
 
-def _dot(vec_a: str, vec_b: str):
-    return F.expr(
+# Unrolling bound: a 256-term sum is still a comfortable codegen method;
+# wider vectors keep the fold (janino would eventually refuse the method).
+_UNROLL_MAX_DIM = 256
+
+
+def _dot(vec_a: str, vec_b: str, dim: int | None = None):
+    """Dot product of two array columns.
+
+    The ``aggregate(zip_with(...))`` fold is a boxed higher-order Catalyst
+    expression — it never enters whole-stage codegen and allocates a
+    zipped array per PAIR (guide §4.1: prefer expressions codegen can
+    compile). When the caller knows the embedding dimension, the fold
+    unrolls to ``0D + a[0]*b[0] + a[1]*b[1] + ...`` — plain projections
+    that compile, with IDENTICAL left-associative IEEE addition order to
+    the fold (acc starts at 0D and adds one product per element, in
+    element order), so cosine bits cannot change. Rows whose size differs
+    from ``dim`` take the fold via the CASE guard (same expression as
+    before, same values)."""
+    fold = (
         f"aggregate(zip_with({vec_a}, {vec_b}, (x, y) -> cast(x as double) * y), "
         "0D, (acc, v) -> acc + v)"
     )
+    if dim is None or not (0 < dim <= _UNROLL_MAX_DIM):
+        return F.expr(fold)
+    terms = " + ".join(
+        f"(cast({vec_a}[{i}] as double) * cast({vec_b}[{i}] as double))"
+        for i in range(dim)
+    )
+    return F.expr(
+        f"CASE WHEN size({vec_a}) = {dim} AND size({vec_b}) = {dim} "
+        f"THEN 0D + {terms} ELSE {fold} END"
+    )
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Embedding width from the first row of a SMALL frame (the query set —
+    one trivially cheap job), enabling the unrolled kernels. None on empty
+    input keeps the fold everywhere."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row and row["d"] is not None else None
 
 
 def brute_force_topk(
@@ -64,19 +106,20 @@ def brute_force_topk(
     exact same IEEE op sequence as the inline form, so results are
     bit-identical, but the per-pair cost drops from three O(dim) folds to
     one."""
+    dim = _probe_dim(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-    ).withColumn("qn", _norm("qv"))
+    ).withColumn("qn", _norm("qv", dim))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("cn", _norm("cv"))
+    ).withColumn("cn", _norm("cv", dim))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            (_dot("qv", "cv", dim) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -154,10 +197,11 @@ def ivf_topk(
         "(acc, e) -> CASE WHEN e.d > acc.d OR (e.d = acc.d AND e.cid < acc.cid) "
         "THEN struct(e.cid AS cid, e.d AS d) ELSE acc END)"
     )
+    dim = _probe_dim(cents, "centv")
     assigned = (
         c.crossJoin(F.broadcast(cents_arr))
         .select("nid", "cv", argmax.getField("cid").alias("centroid_id"))
-        .withColumn("cn", _norm("cv"))
+        .withColumn("cn", _norm("cv", dim))
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -169,7 +213,7 @@ def ivf_topk(
         .withColumn("rn", F.row_number().over(probe_w))
         .where(F.col("rn") <= n_probe)
         .select("query_id", "qv", "centroid_id")
-        .withColumn("qn", _norm("qv"))
+        .withColumn("qn", _norm("qv", dim))
     )
     # norms hoisted per row (bit-identical; see brute_force_topk)
     scored = (
@@ -178,7 +222,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("nid").alias("neighbor_id"),
-            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            (_dot("qv", "cv", dim) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

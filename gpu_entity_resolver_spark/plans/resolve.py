@@ -47,19 +47,22 @@ def _cluster_sig(members: DataFrame) -> DataFrame:
 
 
 def prepare_documents(docs: DataFrame, cfg: ResolverConfig) -> DataFrame:
-    """Stage 1: extraction + normalization + stable doc ids."""
+    """Stage 1: extraction + normalization + stable doc ids.
+
+    Emits ONLY the columns later stages consume (doc_id, url, lang,
+    norm_text). The raw ``body_text`` (~2 KB/doc) and ``warc_ts`` used to
+    ride every stage checkpoint, hygiene join and the finalize chain even
+    though nothing after this stage reads them — at 128 k docs that was
+    ~300 MB of dead weight per materialization (guide §2.3: project before
+    the exchange; §8: don't carry payload the decisions never touch)."""
     body = extracted_text(F.col("html"), F.col("text"))
     return docs.select(
         F.xxhash64("url").alias("doc_id"),
         "url",
-        "warc_ts",
         "lang",
-        body.alias("body_text"),
-    ).withColumn(
-        "norm_text",
         normalize_entity_text(
-            F.col("body_text"), cfg.replacements, cfg.suffixes_to_remove
-        ),
+            body, cfg.replacements, cfg.suffixes_to_remove
+        ).alias("norm_text"),
     )
 
 
@@ -155,11 +158,25 @@ def resolve_documents(
 
     pairs = ckpt.stage("02_pairs", build_pairs)
 
-    # full scored pair table is the checkpointed stage (edges are a cheap
-    # filter of it; G8 attachment needs the sub-threshold scores too)
+    # The checkpointed stage keeps ONLY the exact-score rows (jw non-null,
+    # score_pairs exact_only mode — one linear plan, no approx-branch
+    # unions or barriers). Proof that nothing downstream reads the rest:
+    # edges need score >= edge_threshold, and score <= _partial + jw_share,
+    # so any row at or above the threshold cleared the decision band and
+    # has an exact jw; G8 attachment explicitly consumes jw-non-null rows
+    # only (approximate scores must not enter its mean/ratio tests); the
+    # ensemble recall path thresholds at >= the band floor (the config
+    # widening above guarantees it). The jw-null rows — ~95% of the
+    # candidate volume, cosine-prefilter prunes and band skips — were
+    # being materialized into the stage table for no consumer (guide §1.2:
+    # don't compute/store what you throw away; the cosine PASS over them
+    # is still paid, it is the prefilter itself).
     scored = ckpt.stage(
         "03_scored",
-        lambda: score_pairs(pairs, prepared, "doc_id", "norm_text", cfg.scoring),
+        lambda: score_pairs(
+            pairs, prepared, "doc_id", "norm_text", cfg.scoring,
+            exact_only=True,
+        ),
     )
     edges = edges_above_threshold(scored, cfg.scoring.edge_threshold)
 

@@ -296,3 +296,66 @@ def test_resolve_with_mutual_rank_ensemble(spark):
     # default config keeps the column, constant 0
     out0 = resolve_documents(spark, docs)
     assert {r["label_source"] for r in out0.select("label_source").distinct().collect()} == {0}
+
+
+def test_exact_only_equals_filtered_full(spark, sf_dir):
+    """r6b: score_pairs(exact_only=True) must equal the branching form
+    filtered to jw-non-null, row for row and bit for bit, on a real corpus
+    slice — and likewise with the decision band off (prefilter prunes
+    only)."""
+    from gpu_entity_resolver_spark.config import BlockingConfig
+    from gpu_entity_resolver_spark.operators.blocking import (
+        blocking_plan,
+        candidate_pairs,
+    )
+    from gpu_entity_resolver_spark.operators.scoring import score_pairs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.lower(F.coalesce("text", F.lit(""))).alias("norm_text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bcfg = BlockingConfig()
+    keys, tokens = blocking_plan(docs, "doc_id", "norm_text", cfg=bcfg)
+    pairs = candidate_pairs(keys, bcfg, tokens=tokens).localCheckpoint(
+        eager=True
+    )
+    for scfg in (
+        ScoringConfig(),
+        ScoringConfig(jw_decision_band=None),
+    ):
+        full = score_pairs(pairs, docs, cfg=scfg).where(
+            F.col("jw").isNotNull()
+        )
+        fast = score_pairs(pairs, docs, cfg=scfg, exact_only=True)
+        cols = ["src", "dst", "tfidf_cos", "lev_ratio", "jw", "ph_sim", "score"]
+        a = sorted(map(tuple, full.select(*cols).collect()))
+        b = sorted(map(tuple, fast.select(*cols).collect()))
+        assert len(a) > 0 and a == b
+
+
+def test_unrolled_dot_equals_fold(spark):
+    """r6b: the dim-unrolled codegen dot/norm must be BIT-identical to the
+    zip_with/aggregate fold (same left-associative addition order), and the
+    CASE guard must route size-mismatched rows to the fold."""
+    import random
+
+    from gpu_entity_resolver_spark.operators.similarity import _dot, _norm
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(500):
+        d = 64 if i % 7 else rng.choice([3, 64, 65])  # some mismatched sizes
+        rows.append((
+            [rng.uniform(-1, 1) for _ in range(d)],
+            [rng.uniform(-1, 1) for _ in range(d)],
+        ))
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    got = df.select(
+        _dot("a", "b", 64).alias("d"), _norm("a", 64).alias("n")
+    ).collect()
+    want = df.select(_dot("a", "b").alias("d"), _norm("a").alias("n")).collect()
+    assert [(r["d"], r["n"]) for r in got] == [(r["d"], r["n"]) for r in want]
