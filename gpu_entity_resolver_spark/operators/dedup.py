@@ -59,9 +59,14 @@ def minhash_dedup(
     group of size >= 2, dup_group = min doc id of the group.
     """
     cfg = cfg or BlockingConfig()
-    norm = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("nt"),
+    from ..util import spread_input
+
+    # one-split inputs would run the python key/vector builds on one core
+    norm = spread_input(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("nt"),
+        )
     )
     pairs = candidate_pairs(
         lsh_block_keys(norm, "doc_id", "nt", cfg, with_tokens=False),
@@ -195,9 +200,12 @@ def simhash64_table(
     import pandas as pd
 
     from ..functions.xxh64 import gram_hashes_spark
+    from ..util import spread_input
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    # the fingerprint kernel is a pure map — a one-split scan would run it
+    # all on one core (spread_input is a no-op on well-partitioned input)
+    base = spread_input(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
     )
 
     def per_batch(batches):
@@ -251,9 +259,13 @@ def ngram_jaccard_pairs(
     (src, dst, jaccard). Set intersection/union are JVM array ops over the
     distinct-shingle arrays attached per side."""
     cfg = cfg or BlockingConfig()
-    norm = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("nt"),
+    from ..util import spread_input
+
+    norm = spread_input(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("nt"),
+        )
     )
     pairs = candidate_pairs(
         lsh_block_keys(norm, "doc_id", "nt", cfg, with_tokens=False),
@@ -312,20 +324,22 @@ def embedding_neardup_pairs(
     """
     bits_per = n_planes // n_bands
     # sign bit per plane: dot(vec, normal_p) > 0; normal_p[d] in (-1, 1)
-    # (Spark's % keeps the sign of the dividend, giving a symmetric range)
+    # (Spark's % keeps the sign of the dividend, giving a symmetric range).
+    # Computed over the renamed "vec" column AFTER the parallelism spread —
+    # the signature fold is the heavy pre-exchange map work here.
     sig = F.expr(
-        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+        f"aggregate(zip_with(vec, sequence(0, size(vec) - 1), "
         f"(v, d) -> struct(v as v, d as d)), "
         f"transform(sequence(0, {n_planes - 1}), p -> cast(0.0 as double)), "
         f"(acc, e) -> zip_with(acc, sequence(0, {n_planes - 1}), "
         f"(a, p) -> a + e.v * (cast(xxhash64(e.d, p, {seed}) % 1000000 as double) / 1000000.0)))"
     )
+    from ..util import spread_input
+
     docs = (
-        embeddings.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(vec_col).alias("vec"),
-            sig.alias("sig"),
-        ).select(
+        spread_input(
+            embeddings.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"))
+        ).withColumn("sig", sig).select(
             "doc_id",
             "vec",
             F.expr(

@@ -106,13 +106,19 @@ def brute_force_topk(
     exact same IEEE op sequence as the inline form, so results are
     bit-identical, but the per-pair cost drops from three O(dim) folds to
     one."""
+    from ..util import spread_input
+
     dim = _probe_dim(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
     ).withColumn("qn", _norm("qv", dim))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    # the corpus-side dot/rank map inherits the scan partitioning; a small
+    # embeddings table is one split — one core for the whole scan
+    c = spread_input(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
     ).withColumn("cn", _norm("cv", dim))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -162,7 +168,11 @@ def ivf_topk(
     and degrades toward n_probe/n_centroids on data with no neighborhood
     structure; raise n_probe for such workloads.
     """
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
+    from ..util import spread_input
+
+    c = spread_input(
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("cv"))
+    )
     if n_centroids is None:
         n_centroids = max(16, math.isqrt(max(c.count(), 1) - 1) + 1)
     if n_probe is None:
