@@ -94,17 +94,23 @@ def _tfidf_matrix(names: list[str], n_lo: int = 3, n_hi: int = 5) -> np.ndarray:
 def _elect_canonical_list(names: list[str]) -> str:
     """Exact V11 formula on one cluster's member texts (plain-list core).
 
-    Identical math to the pandas form: ``uniq`` keeps first-appearance
-    order (dict.fromkeys == pd.unique), frequencies are the same float
-    divisions, and the matrix/argmax path is shared — per-cluster pandas
-    Series/value_counts construction was pure overhead at thousands of
-    clusters per Arrow batch."""
+    The candidate list is processed in SORTED order (r6b), making the
+    election a pure function of the name MULTISET: the earlier
+    first-appearance order inherited ``collect_list``'s shuffle arrival
+    order, so ``base = sim @ freq`` summed in a partition-dependent order
+    and the argmax (first max wins) broke exact ties by arrival — the
+    end-to-end determinism test caught a flipped near-tie after the r6b
+    hygiene rewrites perturbed row order. Candidate SCORES are otherwise
+    order-independent (tf/idf/norms are per-row over the sorted vocab; sim
+    entries are pairwise dots), so on margin-decidable inputs — every
+    oracle fixture — the winner is unchanged; ties now break
+    lexicographically, deterministically."""
     if not names:
         return ""
     counts = Counter(names)
     if len(counts) == 1:
         return names[0]
-    uniq = list(dict.fromkeys(names))
+    uniq = sorted(counts)
     X = _tfidf_matrix(uniq)
     sim = X @ X.T
     freq = np.array([counts[u] for u in uniq], dtype=np.float64) / float(
