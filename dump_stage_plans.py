@@ -81,6 +81,14 @@ def main() -> None:
         "resolve_score_stage",
         score_pairs(pairs_c, prepared_c, "doc_id", "norm_text", scfg),
     )
+    # the form the resolve pipeline's 03 stage actually runs since r6b:
+    # one linear plan, no approx-branch union, no cos/base barriers
+    dump(
+        "resolve_score_stage_exact_only",
+        score_pairs(
+            pairs_c, prepared_c, "doc_id", "norm_text", scfg, exact_only=True
+        ),
+    )
 
 
 if __name__ == "__main__":
